@@ -1,0 +1,169 @@
+"""Network architectures (SURVEY.md §2.7).
+
+Behavioral spec from the reference's ``codes/models/modules/architecture.py``:
+
+- ``RRDBNet``: conv_first -> nb(=23) RRDB blocks -> trunk conv (+residual) ->
+  two nearest-2x-upsample+conv stages (=4x) -> HR conv -> last conv. The
+  explorable fork feeds ``num_latent_channels`` extra Z-map channels; the
+  injection point is configurable here (``latent_input='first_layer'`` concat
+  at the input — the surveyed default — or ``'all_layers'`` re-injecting Z at
+  every RRDB).
+- ``DiscriminatorVGG128``: VGG-style 10-conv strided stack for 128x128 crops,
+  BN (first conv bare), LeakyReLU(0.2), 2 FC heads -> logit.
+- ``VGG19FeatureExtractor``: VGG19 truncated at conv5_4 **pre-activation**,
+  ImageNet-normalized, frozen — the ESRGAN perceptual-loss feature space.
+
+All NHWC, bf16-capable compute with f32 params (TPU-native)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from esr_tpu.models.blocks import (
+    RRDB,
+    ConvLRelu,
+    Dtype,
+    kaiming_scaled,
+    lrelu,
+    upsample_nearest_2x,
+)
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+class RRDBNet(nn.Module):
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    scale: int = 4
+    num_latent_channels: int = 0
+    latent_input: str = "first_layer"  # 'first_layer' | 'all_layers' | 'none'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lr, z=None):
+        """lr: (N,H,W,in_nc) in [0,1]; z: (N,H,W,num_latent_channels) or None."""
+        if self.num_latent_channels:
+            if z is None:
+                z = jnp.zeros(
+                    lr.shape[:-1] + (self.num_latent_channels,), dtype=lr.dtype
+                )
+            x = jnp.concatenate([lr, z], axis=-1)
+        else:
+            x = lr
+        x = x.astype(self.dtype)
+        fea = ConvLRelu(self.nf, act=False, dtype=self.dtype, name="conv_first")(x)
+        trunk = fea
+        for i in range(self.nb):
+            if self.num_latent_channels and self.latent_input == "all_layers":
+                zc = z.astype(self.dtype)
+                trunk = jnp.concatenate([trunk, zc], axis=-1)
+                trunk = ConvLRelu(
+                    self.nf, kernel=1, act=False, dtype=self.dtype, name=f"latent_proj{i}"
+                )(trunk)
+            trunk = RRDB(self.nf, self.gc, self.dtype, name=f"rrdb{i}")(trunk)
+        trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="trunk_conv")(trunk)
+        fea = fea + trunk
+        n_up = {1: 0, 2: 1, 4: 2, 8: 3}[self.scale]
+        for i in range(n_up):
+            fea = upsample_nearest_2x(fea)
+            fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
+        fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name="HRconv")(fea)
+        out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, name="conv_last")(fea)
+        return out.astype(jnp.float32)
+
+
+class DiscriminatorVGG128(nn.Module):
+    in_nc: int = 3
+    nf: int = 64
+    norm: str = "batch"  # 'batch' | 'none'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: (N,128,128,in_nc) -> (N,1) logits."""
+
+        def block(x, feats, kernel, stride, use_norm, name):
+            x = nn.Conv(
+                feats,
+                (kernel, kernel),
+                strides=(stride, stride),
+                padding=((kernel - 1) // 2, (kernel - 1) // 2),
+                use_bias=not use_norm,
+                kernel_init=kaiming_scaled(1.0),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{name}",
+            )(x)
+            if use_norm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"bn{name}",
+                )(x)
+            return lrelu(x)
+
+        x = x.astype(self.dtype)
+        bn = self.norm == "batch"
+        x = block(x, self.nf, 3, 1, False, "0_0")  # 128
+        x = block(x, self.nf, 4, 2, bn, "0_1")  # 64
+        x = block(x, self.nf * 2, 3, 1, bn, "1_0")
+        x = block(x, self.nf * 2, 4, 2, bn, "1_1")  # 32
+        x = block(x, self.nf * 4, 3, 1, bn, "2_0")
+        x = block(x, self.nf * 4, 4, 2, bn, "2_1")  # 16
+        x = block(x, self.nf * 8, 3, 1, bn, "3_0")
+        x = block(x, self.nf * 8, 4, 2, bn, "3_1")  # 8
+        x = block(x, self.nf * 8, 3, 1, bn, "4_0")
+        x = block(x, self.nf * 8, 4, 2, bn, "4_1")  # 4
+        x = x.reshape(x.shape[0], -1)
+        x = lrelu(nn.Dense(100, dtype=self.dtype, param_dtype=jnp.float32, name="linear1")(x))
+        x = nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32, name="linear2")(x)
+        return x.astype(jnp.float32)
+
+
+# VGG19 conv plan: (features, layers-per-stage); pools between stages.
+_VGG19_CFG = ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4))
+
+
+class VGG19FeatureExtractor(nn.Module):
+    """VGG19 features up to conv5_4 pre-activation (ESRGAN perceptual space).
+
+    Weights are a pluggable asset (ImageNet weights are not downloadable in
+    this environment — see ``esr_tpu.models.networks.load_vgg19_from_torch``
+    for the converter); architecture + normalization are exact.
+    """
+
+    feature_layer: int = 34  # torch features index of conv5_4 (pre-act)
+    use_input_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N,H,W,3) RGB in [0,1] -> (N,h,w,512) conv5_4 pre-activation."""
+        if self.use_input_norm:
+            x = (x - IMAGENET_MEAN.astype(x.dtype)) / IMAGENET_STD.astype(x.dtype)
+        x = x.astype(self.dtype)
+        torch_idx = 0  # mirrors torchvision vgg19.features indexing
+        for stage, (feats, n_layers) in enumerate(_VGG19_CFG):
+            for layer in range(n_layers):
+                x = nn.Conv(
+                    feats,
+                    (3, 3),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"conv{stage + 1}_{layer + 1}",
+                )(x)
+                if torch_idx == self.feature_layer:
+                    return x.astype(jnp.float32)
+                torch_idx += 1
+                x = nn.relu(x)
+                torch_idx += 1
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            torch_idx += 1
+        return x.astype(jnp.float32)

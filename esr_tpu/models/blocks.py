@@ -1,0 +1,100 @@
+"""Building blocks for the ESRGAN-lineage generators (SURVEY.md §2.8).
+
+Behavioral spec from the reference's ``codes/models/modules/block.py``:
+``ResidualDenseBlock_5C`` (5 convs with dense concat connections, growth
+``gc``, LeakyReLU(0.2), x0.2 residual scaling) and ``RRDB`` (3 RDBs with an
+outer x0.2 residual). Re-designed TPU-first: NHWC layout, a ``dtype``
+parameter so the conv stack runs in bfloat16 on the MXU with float32 params,
+and Kaiming(x0.1) init baked into the modules (the reference applies it post
+hoc in ``networks.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn.initializers import variance_scaling
+
+Dtype = jnp.dtype
+
+
+def kaiming_scaled(scale: float = 0.1):
+    """Kaiming-normal (fan_in, gain sqrt(2)) scaled by ``scale``.
+
+    Matches the reference convention: torch ``kaiming_normal_`` then
+    ``weight *= 0.1`` for residual-branch convs (ESRGAN trick for stable
+    deep-RRDB training).
+    """
+    return variance_scaling(2.0 * scale * scale, "fan_in", "normal")
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class ConvLRelu(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+    init_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            kernel_init=kaiming_scaled(self.init_scale),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return lrelu(x) if self.act else x
+
+
+class ResidualDenseBlock5C(nn.Module):
+    """5-conv dense block: conv_i sees concat(x, x1..x_{i-1}); out = x + 0.2*x5."""
+
+    nf: int = 64
+    gc: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [x]
+        for i in range(4):
+            xi = ConvLRelu(
+                self.gc, act=True, init_scale=0.1, dtype=self.dtype, name=f"conv{i + 1}"
+            )(jnp.concatenate(feats, axis=-1) if len(feats) > 1 else x)
+            feats.append(xi)
+        x5 = ConvLRelu(
+            self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="conv5"
+        )(jnp.concatenate(feats, axis=-1))
+        return x + 0.2 * x5
+
+
+class RRDB(nn.Module):
+    """Residual-in-Residual Dense Block: 3 RDBs, outer x0.2 residual."""
+
+    nf: int = 64
+    gc: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = x
+        for i in range(3):
+            out = ResidualDenseBlock5C(self.nf, self.gc, self.dtype, name=f"rdb{i + 1}")(out)
+        return x + 0.2 * out
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbor 2x upsample, NHWC, shape-static (the reference's
+    F.interpolate(scale_factor=2, mode='nearest'))."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

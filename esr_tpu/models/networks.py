@@ -1,0 +1,175 @@
+"""Network factories + torch-checkpoint converters (SURVEY.md §2.6).
+
+Behavioral spec from the reference's ``codes/models/networks.py``: ``define_G
+/ define_D / define_F`` build generator / discriminator / frozen VGG feature
+extractor from the options dict (``network_G``/``network_D`` blocks with the
+reference's key names: ``which_model_G``, ``nf``, ``nb``, ``in_nc``,
+``out_nc``, ``gc``, ``scale``, ``latent_input``/``num_latent_channels``).
+Kaiming(x0.1 residual) init is baked into the flax modules.
+
+Converters map released torch ``.pth`` checkpoints (old- and new-style ESRGAN
+key layouts, torchvision VGG19) into our NHWC flax params for parity testing;
+torch-cpu is installed in this environment, the weights themselves are not
+obtainable offline (SURVEY.md §7 hard-part 3) so they are a pluggable asset.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esr_tpu.models.architecture import (
+    DiscriminatorVGG128,
+    RRDBNet,
+    VGG19FeatureExtractor,
+)
+
+__all__ = [
+    "define_G",
+    "define_D",
+    "define_F",
+    "init_params",
+    "load_rrdb_from_torch",
+    "load_vgg19_from_torch",
+]
+
+
+def define_G(opt: dict) -> RRDBNet:
+    o = opt["network_G"]
+    which = (o.get("which_model_G") or "RRDB_net").lower()
+    if which not in ("rrdb_net", "rrdbnet", "rrdb"):
+        raise NotImplementedError(f"generator {which} not supported")
+    latent = opt.get("network_G", {}).get("latent_input") or opt.get("latent_input")
+    nz = int(o.get("num_latent_channels") or 0)
+    dtype = jnp.bfloat16 if opt.get("bf16", True) else jnp.float32
+    return RRDBNet(
+        in_nc=int(o.get("in_nc") or 3),
+        out_nc=int(o.get("out_nc") or 3),
+        nf=int(o.get("nf") or 64),
+        nb=int(o.get("nb") or 23),
+        gc=int(o.get("gc") or 32),
+        scale=int(opt.get("scale") or 4),
+        num_latent_channels=nz,
+        latent_input=latent or "first_layer",
+        dtype=dtype,
+    )
+
+
+def define_D(opt: dict) -> DiscriminatorVGG128:
+    o = opt.get("network_D") or {}
+    which = (o.get("which_model_D") or "discriminator_vgg_128").lower()
+    if "vgg" not in which:
+        raise NotImplementedError(f"discriminator {which} not supported")
+    dtype = jnp.bfloat16 if opt.get("bf16", True) else jnp.float32
+    return DiscriminatorVGG128(
+        in_nc=int(o.get("in_nc") or 3),
+        nf=int(o.get("nf") or 64),
+        norm="batch" if (o.get("norm_type") or "batch") == "batch" else "none",
+        dtype=dtype,
+    )
+
+
+def define_F(opt: dict, use_bn: bool = False) -> VGG19FeatureExtractor:
+    train_opt = opt.get("train") or {}
+    layer = int(train_opt.get("feature_layer") or 34)
+    dtype = jnp.bfloat16 if opt.get("bf16", True) else jnp.float32
+    return VGG19FeatureExtractor(feature_layer=layer, dtype=dtype)
+
+
+def init_params(module, rng, *example_args, **kwargs):
+    """Initialize flax variables; returns the full variable dict."""
+    return module.init(rng, *example_args, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# torch .pth -> flax params converters (OIHW -> HWIO, name remapping)
+# --------------------------------------------------------------------------
+
+
+def _t2j_conv(w: "Any") -> np.ndarray:
+    w = np.asarray(w, dtype=np.float32)
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _normalize_rrdb_keys(state: dict) -> dict:
+    """Map both known torch ESRGAN key layouts to a canonical naming.
+
+    new-style: conv_first / RRDB_trunk.{i}.RDB{j}.conv{k}.0 / trunk_conv /
+               upconv1 / upconv2 / HRconv / conv_last
+    old-style: model.0 / model.1.sub.{i}.RDB{j}.conv{k}.0 / model.1.sub.23 /
+               model.3 / model.6 / model.8 / model.10
+    """
+    out = {}
+    for k, v in state.items():
+        nk = k
+        nk = nk.replace("model.0.", "conv_first.")
+        nk = re.sub(r"model\.1\.sub\.23\.", "trunk_conv.", nk)
+        nk = re.sub(r"model\.1\.sub\.(\d+)\.", r"RRDB_trunk.\1.", nk)
+        nk = nk.replace("model.3.", "upconv1.")
+        nk = nk.replace("model.6.", "upconv2.")
+        nk = nk.replace("model.8.", "HRconv.")
+        nk = nk.replace("model.10.", "conv_last.")
+        out[nk] = v
+    return out
+
+
+def load_rrdb_from_torch(state_dict: dict, nb: int = 23) -> dict:
+    """torch RRDBNet state_dict -> flax params tree for our RRDBNet."""
+    sd = _normalize_rrdb_keys(
+        {k: v for k, v in state_dict.items() if "weight" in k or "bias" in k}
+    )
+
+    def conv(prefix):
+        return {
+            "Conv_0": {
+                "kernel": _t2j_conv(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"], dtype=np.float32),
+            }
+        }
+
+    def maybe_seq(prefix):
+        # torch convs inside RDB are Sequential(conv, lrelu) -> '.0' suffix
+        return prefix + ".0" if prefix + ".0.weight" in sd else prefix
+
+    params = {
+        "conv_first": conv(maybe_seq("conv_first")),
+        "trunk_conv": conv(maybe_seq("trunk_conv")),
+        "HRconv": conv(maybe_seq("HRconv")),
+        "conv_last": conv(maybe_seq("conv_last")),
+    }
+    for i in range(nb):
+        rrdb = {}
+        for j in range(1, 4):
+            rdb = {}
+            for k in range(1, 6):
+                rdb[f"conv{k}"] = conv(maybe_seq(f"RRDB_trunk.{i}.RDB{j}.conv{k}"))
+            rrdb[f"rdb{j}"] = rdb
+        params[f"rrdb{i}"] = rrdb
+    for i in (1, 2):
+        params[f"upconv{i}"] = conv(maybe_seq(f"upconv{i}"))
+    return {"params": jax.tree.map(jnp.asarray, params)}
+
+
+def load_vgg19_from_torch(state_dict: dict, feature_layer: int = 34) -> dict:
+    """torchvision vgg19 state_dict ('features.N.weight') -> flax params."""
+    conv_indices = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    names = [
+        f"conv{s + 1}_{l + 1}"
+        for s, n in enumerate((2, 2, 4, 4, 4))
+        for l in range(n)
+    ]
+    params = {}
+    for idx, name in zip(conv_indices, names):
+        if idx > feature_layer:
+            break
+        params[name] = {
+            "kernel": jnp.asarray(_t2j_conv(state_dict[f"features.{idx}.weight"])),
+            "bias": jnp.asarray(
+                np.asarray(state_dict[f"features.{idx}.bias"], dtype=np.float32)
+            ),
+        }
+    return {"params": params}

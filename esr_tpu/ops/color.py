@@ -1,0 +1,103 @@
+"""Color-space conversions and tensor<->image bridging.
+
+Behavioral spec (SURVEY.md §2.5, §2.14): the reference's ``codes/data/util.py
+:: bgr2ycbcr`` and ``codes/utils/util.py :: tensor2img`` define the exact
+uint8/Y-channel domain in which PSNR/SSIM are computed, so their rounding and
+coefficient conventions are reproduced here. ITU-R BT.601 "studio swing"
+coefficients (the MATLAB rgb2ycbcr convention).
+
+This framework is NHWC/RGB end to end (TPU-native layout); BGR enters only at
+the cv2 decode boundary in ``esr_tpu.data.util``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["rgb2ycbcr", "bgr2ycbcr", "ycbcr2rgb", "tensor2img", "img2tensor"]
+
+# BT.601 full->studio swing RGB->YCbCr matrix, applied to [0,255] RGB.
+_YCBCR_FROM_RGB = np.array(
+    [
+        [65.481, -37.797, 112.0],
+        [128.553, -74.203, -93.786],
+        [24.966, 112.0, -18.214],
+    ],
+    dtype=np.float64,
+)
+_YCBCR_OFFSET = np.array([16.0, 128.0, 128.0], dtype=np.float64)
+
+
+def _ycbcr_core(img: np.ndarray, matrix: np.ndarray, only_y: bool) -> np.ndarray:
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    if only_y:
+        out = x @ matrix[:, 0] + _YCBCR_OFFSET[0]
+    else:
+        out = x @ matrix + _YCBCR_OFFSET
+    out = out / 255.0
+    if in_type == np.uint8:
+        out = (out * 255.0).round().astype(np.uint8)
+    else:
+        out = out.astype(np.float32)
+    return out
+
+
+def rgb2ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
+    """RGB (HWC, [0,1] float or uint8) -> YCbCr (or Y only), same value domain."""
+    return _ycbcr_core(img, _YCBCR_FROM_RGB / 255.0, only_y)
+
+
+def bgr2ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
+    """BGR variant, mirroring the reference's cv2-ordered helper."""
+    return _ycbcr_core(img, (_YCBCR_FROM_RGB / 255.0)[::-1], only_y)
+
+
+def ycbcr2rgb(img: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`rgb2ycbcr` (full 3-channel), same value domain."""
+    in_type = img.dtype
+    x = img.astype(np.float64)
+    if in_type != np.uint8:
+        x = x * 255.0
+    inv = np.linalg.inv(_YCBCR_FROM_RGB / 255.0)
+    out = (x - _YCBCR_OFFSET) @ inv
+    out = out / 255.0
+    if in_type == np.uint8:
+        out = np.clip(out * 255.0, 0, 255).round().astype(np.uint8)
+    else:
+        out = out.astype(np.float32)
+    return out
+
+
+def tensor2img(tensor, out_type=np.uint8, min_max=(0.0, 1.0)) -> np.ndarray:
+    """Device array (..., H, W, C) float -> HWC uint8 RGB image.
+
+    Matches the reference semantics (clamp to min_max, scale, *round* — not
+    truncate — to uint8); layout here is NHWC/RGB rather than CHW/BGR.
+    """
+    x = np.asarray(tensor, dtype=np.float32)
+    x = np.clip(x, min_max[0], min_max[1])
+    x = (x - min_max[0]) / (min_max[1] - min_max[0])
+    if x.ndim == 4:
+        if x.shape[0] != 1:
+            raise ValueError("tensor2img expects a single image")
+        x = x[0]
+    if x.ndim == 3 and x.shape[-1] == 1:
+        x = x[..., 0]
+    if out_type == np.uint8:
+        return (x * 255.0).round().astype(np.uint8)
+    return x
+
+
+def img2tensor(img: np.ndarray) -> np.ndarray:
+    """HWC uint8/float image -> float32 [0,1] HWC array (layout unchanged)."""
+    x = np.asarray(img)
+    if x.dtype == np.uint8:
+        x = x.astype(np.float32) / 255.0
+    else:
+        x = x.astype(np.float32)
+    if x.ndim == 2:
+        x = x[..., None]
+    return x

@@ -1,0 +1,28 @@
+"""Test harness config: CPU backend with 8 virtual devices.
+
+Tests never touch the real TPU (single shared chip behind a network tunnel —
+per-op dispatch there makes tests ~100x slower); multi-chip sharding is
+validated on a virtual CPU mesh as SURVEY.md §4 prescribes.
+
+Note: the environment's sitecustomize imports jax and pins JAX_PLATFORMS=axon
+before pytest starts, so env vars alone are too late — we must override via
+jax.config before the backend is instantiated.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, jax.devices()
