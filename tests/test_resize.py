@@ -120,11 +120,12 @@ def test_2d_input():
 def test_matlab_golden_values():
     """Golden values for imresize(magic-like ramp) hand-derived from the
     direct algorithm at float64 — regression lock, not an external oracle."""
-    x = np.arange(16, dtype=np.float64).reshape(16, 1)
-    out = resize_matrix(16, 4, dtype=np.float64) @ x
+    x = np.arange(64, dtype=np.float64).reshape(64, 1)
+    out = resize_matrix(64, 16, dtype=np.float64) @ x
     # downscale by 4 of a linear ramp keeps linearity in the interior
-    # (centers at 1.5 + 4k); symmetric padding bends the ramp at the borders.
-    np.testing.assert_allclose(out[1:3, 0], [5.5, 9.5], atol=1e-9)
+    # (centers at 1.5 + 4k); symmetric padding bends the ramp at the borders
+    # (the antialiased kernel spans 18 taps, so ~4 LR px are border-affected).
+    np.testing.assert_allclose(out[5:11, 0], 1.5 + 4 * np.arange(5, 11), atol=1e-9)
     # border values are regression-locked from the float64 direct algorithm
-    direct = reference_imresize_1d(x, 4)
+    direct = reference_imresize_1d(x, 16)
     np.testing.assert_allclose(out, direct, atol=1e-12)
