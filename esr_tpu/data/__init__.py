@@ -1,0 +1,125 @@
+"""Dataset/loader factories (SURVEY.md §2.4: ``codes/data/__init__.py`` ::
+create_dataset / create_dataloader contract)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from esr_tpu.data.lrhr_dataset import LRDataset, LRHRDataset, SyntheticDataset
+from esr_tpu.data.pipeline import draw_z, make_train_pipeline
+
+__all__ = [
+    "create_dataset",
+    "create_dataloader",
+    "LRHRDataset",
+    "LRDataset",
+    "SyntheticDataset",
+    "make_train_pipeline",
+    "draw_z",
+]
+
+
+def create_dataset(dataset_opt: dict):
+    mode = (dataset_opt.get("mode") or "LRHR").upper()
+    if mode == "LRHR":
+        return LRHRDataset(dataset_opt)
+    if mode == "LR":
+        return LRDataset(dataset_opt)
+    if mode == "SYNTHETIC":
+        return SyntheticDataset(dataset_opt)
+    raise NotImplementedError(f"dataset mode {mode} not recognized")
+
+
+class DataLoader:
+    """Minimal epoch-batched loader with background prefetch.
+
+    The reference leans on torch DataLoader worker subprocesses for its heavy
+    host-side preprocessing; here the heavy work runs on-device
+    (esr_tpu.data.pipeline), so a single prefetch thread that decodes and
+    crops uint8 is enough to keep the TPU fed.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 16,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        seed: int = 0,
+        collate_keys=("LR", "HR"),
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.seed = seed
+        self.collate_keys = collate_keys
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _collate(self, samples):
+        batch = {}
+        for key in self.collate_keys:
+            vals = [s.get(key) for s in samples]
+            if any(v is None for v in vals):
+                batch[key] = None
+            else:
+                batch[key] = np.stack(vals)
+        for key in samples[0]:
+            if key not in self.collate_keys:
+                batch[key] = [s[key] for s in samples]
+        return batch
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        idx = self._indices()
+        self._epoch += 1
+        bs = self.batch_size
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            try:
+                for b in range(n_batches):
+                    chunk = idx[b * bs : (b + 1) * bs]
+                    q.put(self._collate([self.dataset[int(i)] for i in chunk]))
+            except Exception as e:  # surface loader errors in the main thread
+                q.put(e)
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def create_dataloader(dataset, dataset_opt: dict):
+    phase = dataset_opt.get("phase", "test")
+    if phase == "train":
+        return DataLoader(
+            dataset,
+            batch_size=int(dataset_opt.get("batch_size") or 16),
+            shuffle=bool(dataset_opt.get("use_shuffle", True)),
+            drop_last=True,
+            seed=int(dataset_opt.get("seed") or 0),
+        )
+    return DataLoader(dataset, batch_size=1, shuffle=False, drop_last=False)

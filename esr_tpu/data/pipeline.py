@@ -1,0 +1,101 @@
+"""jit-fused on-device preprocessing (SURVEY.md §3.5 + BASELINE north_star:
+"HR crop -> kernel-blur -> bicubic-LR pairing, augmentation fused into a
+jit-compiled preprocessing graph").
+
+The host hands over stacked HR crops (uint8/float, static shapes); a single
+jitted graph then does: normalize -> optional extra blur kernel -> MATLAB-
+bicubic LR synthesis (two MXU matmuls, esr_tpu.ops.resize) -> joint flip/rot90
+augmentation (lax.switch over the 8 dihedral elements, per-sample) -> optional
+Z-map draw. Zero host round-trips inside the step; the output feeds the
+train step directly (and XLA fuses pipeline + model into one program when
+called under the same jit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from esr_tpu.ops.resize import imresize
+
+__all__ = ["make_train_pipeline", "dihedral_transform", "draw_z"]
+
+
+def dihedral_transform(img: jax.Array, code: jax.Array) -> jax.Array:
+    """Apply one of 8 flip/rot90 symmetries to an HWC image (square)."""
+    branches = [
+        lambda x: x,
+        lambda x: x[:, ::-1, :],
+        lambda x: x[::-1, :, :],
+        lambda x: x[::-1, ::-1, :],
+        lambda x: jnp.swapaxes(x, 0, 1),
+        lambda x: jnp.swapaxes(x, 0, 1)[:, ::-1, :],
+        lambda x: jnp.swapaxes(x, 0, 1)[::-1, :, :],
+        lambda x: jnp.swapaxes(x, 0, 1)[::-1, ::-1, :],
+    ]
+    return jax.lax.switch(code, branches, img)
+
+
+def draw_z(rng: jax.Array, shape, kind: str = "uniform") -> jax.Array:
+    """Random latent Z map in [-1, 1] (per-step draw for explorable training)."""
+    if kind == "uniform":
+        return jax.random.uniform(rng, shape, minval=-1.0, maxval=1.0)
+    if kind == "normal":
+        return jax.random.normal(rng, shape)
+    if kind == "zeros":
+        return jnp.zeros(shape)
+    raise ValueError(kind)
+
+
+def make_train_pipeline(
+    scale: int = 4,
+    use_flip: bool = True,
+    use_rot: bool = True,
+    blur_kernel=None,
+    num_latent_channels: int = 0,
+    z_kind: str = "uniform",
+):
+    """Build the fused device preprocessing fn.
+
+    Returns ``pipe(hr_batch, rng) -> {'HR', 'LR'[, 'Z']}`` where ``hr_batch``
+    is (N, H, W, C) uint8 or float[0,1]; jit-able and donate-able.
+    """
+    blur = None if blur_kernel is None else jnp.asarray(blur_kernel, jnp.float32)
+
+    def pipe(hr_batch: jax.Array, rng: jax.Array) -> dict:
+        hr = hr_batch.astype(jnp.float32)
+        if hr_batch.dtype == jnp.uint8:
+            hr = hr / 255.0
+        n = hr.shape[0]
+        rng_aug, rng_z = jax.random.split(rng)
+
+        if use_flip or use_rot:
+            max_code = 8 if use_rot else 2
+            codes = jax.random.randint(rng_aug, (n,), 0, max_code)
+            hr = jax.vmap(dihedral_transform)(hr, codes)
+
+        src = hr
+        if blur is not None:
+            c = hr.shape[-1]
+            kern = jnp.tile(blur[:, :, None, None], (1, 1, 1, c))
+            src = jax.lax.conv_general_dilated(
+                src,
+                kern,
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+                feature_group_count=c,
+            )
+        lr = imresize(src, scale=1.0 / scale)
+
+        out = {"HR": hr, "LR": lr}
+        if num_latent_channels:
+            out["Z"] = draw_z(
+                rng_z, lr.shape[:-1] + (num_latent_channels,), z_kind
+            )
+        return out
+
+    return pipe

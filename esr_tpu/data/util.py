@@ -1,0 +1,128 @@
+"""Host-side data utilities (SURVEY.md §2.5 host parts, §3.5).
+
+Behavioral spec from the reference's ``codes/data/util.py``: recursive image
+path collection, cv2 decode to float [0,1] (BGR there — converted to RGB at
+this boundary, the framework is RGB/NHWC throughout), ``modcrop`` to a
+multiple of scale, flip/rot augmentation. The MATLAB-bicubic resampling lives
+in ``esr_tpu.ops.resize`` (single source of truth); LR generation normally
+happens on-device in the fused pipeline (``esr_tpu.data.pipeline``), the
+host path here exists for offline scripts and parity tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".tif", ".tiff", ".webp")
+
+__all__ = [
+    "is_image_file",
+    "get_image_paths",
+    "read_img",
+    "save_img",
+    "modcrop",
+    "augment",
+    "random_crop_pair",
+]
+
+
+def is_image_file(filename: str) -> bool:
+    return filename.lower().endswith(IMG_EXTENSIONS)
+
+
+def get_image_paths(dataroot: str) -> list[str]:
+    if dataroot is None:
+        return []
+    if not os.path.isdir(dataroot):
+        raise FileNotFoundError(f"{dataroot} is not a directory")
+    paths = []
+    for root, _, files in sorted(os.walk(dataroot)):
+        paths.extend(os.path.join(root, f) for f in sorted(files) if is_image_file(f))
+    if not paths:
+        raise FileNotFoundError(f"no images found under {dataroot}")
+    return paths
+
+
+def read_img(path: str) -> np.ndarray:
+    """Decode an image file to HWC float32 RGB in [0,1]."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError(f"failed to read image {path}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 4:
+        img = img[:, :, :3]
+    if img.shape[2] == 3:
+        img = img[:, :, ::-1]  # BGR (cv2) -> RGB (framework convention)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    elif img.dtype == np.uint16:
+        img = img.astype(np.float32) / 65535.0
+    else:
+        img = img.astype(np.float32)
+    return np.ascontiguousarray(img)
+
+
+def save_img(img: np.ndarray, path: str) -> None:
+    """Save an HWC uint8 RGB image."""
+    import cv2
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    bgr = img[:, :, ::-1] if img.ndim == 3 and img.shape[2] == 3 else img
+    if not cv2.imwrite(path, bgr):
+        raise IOError(f"failed to write image {path}")
+
+
+def modcrop(img: np.ndarray, scale: int) -> np.ndarray:
+    """Crop so H and W are multiples of scale (reference eval convention)."""
+    h, w = img.shape[0], img.shape[1]
+    return img[: h - h % scale, : w - w % scale, ...]
+
+
+def augment(imgs, hflip: bool = True, rot: bool = True, rng=None):
+    """Joint random flip / rot90 of a list of HWC images (host path)."""
+    rng = rng or np.random.default_rng()
+    do_h = hflip and rng.random() < 0.5
+    do_v = rot and rng.random() < 0.5
+    do_r = rot and rng.random() < 0.5
+
+    def one(img):
+        if do_h:
+            img = img[:, ::-1, :]
+        if do_v:
+            img = img[::-1, :, :]
+        if do_r:
+            img = img.transpose(1, 0, 2)
+        return np.ascontiguousarray(img)
+
+    return [one(i) for i in imgs]
+
+
+def random_crop_pair(hr: np.ndarray, lr: np.ndarray | None, hr_size: int, scale: int, rng):
+    """Aligned random crop: HR to (hr_size, hr_size), LR to hr_size/scale."""
+    h, w = hr.shape[:2]
+    if h < hr_size or w < hr_size:
+        # pad small images reflectively so tiny datasets still train
+        ph, pw = max(0, hr_size - h), max(0, hr_size - w)
+        hr = np.pad(hr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+        if lr is not None:
+            lr = np.pad(
+                lr, ((0, ph // scale), (0, pw // scale), (0, 0)), mode="reflect"
+            )
+        h, w = hr.shape[:2]
+    if lr is not None:
+        lr_size = hr_size // scale
+        ly = int(rng.integers(0, h // scale - lr_size + 1))
+        lx = int(rng.integers(0, w // scale - lr_size + 1))
+        y, x = ly * scale, lx * scale
+        return (
+            hr[y : y + hr_size, x : x + hr_size],
+            lr[ly : ly + lr_size, lx : lx + lr_size],
+        )
+    y = int(rng.integers(0, h - hr_size + 1))
+    x = int(rng.integers(0, w - hr_size + 1))
+    return hr[y : y + hr_size, x : x + hr_size], None

@@ -1,0 +1,19 @@
+"""Model factory (SURVEY.md §2: ``codes/models/__init__.py`` ::
+create_model(opt) — dispatch on ``opt['model']``)."""
+
+from __future__ import annotations
+
+__all__ = ["create_model"]
+
+
+def create_model(opt: dict):
+    model = (opt.get("model") or "sr").lower()
+    if model == "sr":
+        from esr_tpu.models.sr_model import SRModel
+
+        return SRModel(opt)
+    if model in ("srragan", "srgan", "esrgan"):
+        from esr_tpu.models.srragan_model import SRRaGANModel
+
+        return SRRaGANModel(opt)
+    raise NotImplementedError(f"model {model} not recognized")

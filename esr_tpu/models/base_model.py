@@ -1,0 +1,130 @@
+"""BaseModel: training-orchestration base class (SURVEY.md §2.11).
+
+Behavioral contract from the reference's ``codes/models/base_model.py``
+(the BasicSR model API): ``feed_data / optimize_parameters / test /
+get_current_visuals / get_current_losses / save(iter) / update_learning_rate /
+save_training_state / resume_training``. Internals are TPU-native: state
+lives in flax TrainStates updated by pure jitted step functions; checkpoints
+go through orbax (both the per-network artifact and the full training state,
+mirroring the reference's ``*_G.pth`` + ``*.state`` split — SURVEY.md §5.4);
+the LR schedule is an optax piecewise-constant schedule compiled into the
+optimizer (``update_learning_rate`` is kept as a no-op hook for API parity,
+``get_current_learning_rate`` reads the schedule at the current step).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+__all__ = ["BaseModel", "TrainState", "multistep_schedule", "make_adam"]
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def multistep_schedule(lr: float, steps, gamma: float = 0.5):
+    """The reference's MultiStepLR as an optax schedule."""
+    if not steps:
+        return optax.constant_schedule(lr)
+    return optax.piecewise_constant_schedule(
+        init_value=lr, boundaries_and_scales={int(s): gamma for s in steps}
+    )
+
+
+def make_adam(schedule, beta1: float = 0.9, beta2: float = 0.999, grad_clip: float | None = None):
+    tx = optax.adam(schedule, b1=beta1, b2=beta2)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+class BaseModel:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.is_train = bool(opt.get("is_train"))
+        self.schedulers: dict[str, Any] = {}  # name -> optax schedule (logging)
+        self._visuals: dict[str, np.ndarray] = {}
+        self._losses: dict[str, float] = {}
+        self.step = 0
+
+    # -- reference API ----------------------------------------------------
+
+    def feed_data(self, data: dict) -> None:
+        raise NotImplementedError
+
+    def optimize_parameters(self, step: int) -> None:
+        raise NotImplementedError
+
+    def test(self) -> None:
+        raise NotImplementedError
+
+    def get_current_visuals(self) -> dict:
+        return self._visuals
+
+    def get_current_losses(self) -> dict:
+        return {k: float(v) for k, v in self._losses.items()}
+
+    def update_learning_rate(self) -> None:
+        """No-op: the LR schedule is compiled into the optimizer update."""
+
+    def get_current_learning_rate(self) -> float:
+        sched = next(iter(self.schedulers.values()), None)
+        return float(sched(self.step)) if sched is not None else 0.0
+
+    # -- checkpointing (orbax) --------------------------------------------
+
+    def _ckptr(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer()
+
+    def save_network(self, params, network_label: str, iter_label) -> str:
+        path = os.path.join(
+            self.opt["path"]["models"], f"{iter_label}_{network_label}"
+        )
+        self._ckptr().save(
+            os.path.abspath(path), jax.device_get(params), force=True
+        )
+        return path
+
+    def load_network(self, path: str, template=None):
+        restored = self._ckptr().restore(os.path.abspath(path))
+        if template is not None:
+            # re-impose dtypes/structure of the live template
+            restored = jax.tree.map(
+                lambda t, r: jnp.asarray(r, dtype=t.dtype), template, restored
+            )
+        return restored
+
+    def save_training_state(self, epoch: int, iter_step: int, state_tree: dict) -> str:
+        path = os.path.join(
+            self.opt["path"]["training_state"], f"{iter_step}.state"
+        )
+        tree = {"epoch": epoch, "iter": iter_step, **state_tree}
+        self._ckptr().save(os.path.abspath(path), jax.device_get(tree), force=True)
+        return path
+
+    def restore_training_state(self, path: str, template: dict) -> dict:
+        target = {"epoch": 0, "iter": 0, **jax.device_get(template)}
+        return self._ckptr().restore(os.path.abspath(path), item=target)
+
+    @staticmethod
+    def latest_state_path(state_dir: str) -> str | None:
+        """Auto-resume helper: newest ``<iter>.state`` in the directory
+        (the reference requires the user to pass the path; preemption-safe
+        TPU training wants it automatic — SURVEY.md §5.3)."""
+        if not os.path.isdir(state_dir):
+            return None
+        states = [f for f in os.listdir(state_dir) if f.endswith(".state")]
+        if not states:
+            return None
+        states.sort(key=lambda s: int(s.split(".")[0]))
+        return os.path.join(state_dir, states[-1])

@@ -133,6 +133,9 @@ def map_loss(
     """
     s_sr = jnp.mean(local_std(sr, window_size), axis=-1)
     s_hr = jnp.mean(local_std(hr, window_size), axis=-1)
+    if z.shape[1] != sr.shape[1]:  # Z lives on the LR grid: nearest-upsample
+        factor = sr.shape[1] // z.shape[1]
+        z = jnp.repeat(jnp.repeat(z, factor, axis=1), factor, axis=2)
     z_avg = jnp.mean(_depthwise(z, _box_window(window_size)), axis=-1)
     return jnp.mean((s_sr - s_hr - gain * z_avg) ** 2)
 

@@ -1,0 +1,157 @@
+"""SRModel — PSNR-oriented trainer (SURVEY.md §2.11, ``codes/models/SR_model.py``).
+
+Pixel-loss (L1/L2/Charbonnier) training of the RRDB generator with Adam +
+MultiStepLR. The train step is one pure jitted function fusing the on-device
+preprocessing pipeline (LR synthesis + augmentation) with forward/backward —
+the host only streams uint8 HR crops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esr_tpu.cem import CEMConf, make_cem
+from esr_tpu.data.pipeline import make_train_pipeline
+from esr_tpu.models import losses as L
+from esr_tpu.models.base_model import BaseModel, TrainState, make_adam, multistep_schedule
+from esr_tpu.models.networks import define_G
+from esr_tpu.ops.metrics import psnr_jax
+
+__all__ = ["SRModel", "make_sr_train_step"]
+
+
+def make_sr_train_step(g_module, pipeline, pixel_criterion: str = "l1", pixel_weight: float = 1.0):
+    """Pure train step: (state, hr_batch, rng) -> (state', metrics)."""
+
+    def loss_fn(params, batch):
+        sr = g_module.apply({"params": params}, batch["LR"], batch.get("Z"))
+        loss = pixel_weight * L.pixel_loss(sr, batch["HR"], pixel_criterion)
+        return loss, sr
+
+    def train_step(state: TrainState, hr_batch, rng):
+        batch = pipeline(hr_batch, rng)
+        (loss, sr), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"l_pix": loss, "psnr": psnr_jax(sr, batch["HR"], quantize=False)}
+        return state, metrics
+
+    return train_step
+
+
+class SRModel(BaseModel):
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.scale = int(opt.get("scale") or 4)
+        train_opt = opt.get("train") or {}
+        self.g_module = define_G(opt)
+        self.nz = self.g_module.num_latent_channels
+
+        self.cem = None
+        if opt.get("use_cem"):
+            self.cem = make_cem(CEMConf(scale=self.scale))
+
+        rng = jax.random.PRNGKey(int(train_opt.get("manual_seed") or 0))
+        hr_size = int(
+            ((opt.get("datasets") or {}).get("train") or {}).get("HR_size") or 128
+        )
+        lr_size = hr_size // self.scale
+        variables = self.g_module.init(
+            rng,
+            jnp.zeros((1, lr_size, lr_size, self.g_module.in_nc)),
+            jnp.zeros((1, lr_size, lr_size, self.nz)) if self.nz else None,
+        )
+        params = variables["params"]
+
+        if opt["path"].get("pretrain_model_G"):
+            params = self.load_network(opt["path"]["pretrain_model_G"], params)["params"]
+
+        if self.is_train:
+            sched = multistep_schedule(
+                float(train_opt.get("lr_G") or 2e-4),
+                train_opt.get("lr_steps") or [],
+                float(train_opt.get("lr_gamma") or 0.5),
+            )
+            self.schedulers["G"] = sched
+            tx = make_adam(sched, float(train_opt.get("beta1_G") or 0.9))
+        else:
+            import optax
+
+            tx = optax.identity()  # not used at test time
+        self.state = TrainState.create(apply_fn=self.g_module.apply, params=params, tx=tx)
+
+        pipeline = make_train_pipeline(
+            scale=self.scale,
+            use_flip=bool(train_opt.get("use_flip", True)),
+            use_rot=bool(train_opt.get("use_rot", True)),
+            num_latent_channels=self.nz,
+        )
+        self._train_step = jax.jit(
+            make_sr_train_step(
+                self.g_module,
+                pipeline,
+                train_opt.get("pixel_criterion") or "l1",
+                float(train_opt.get("pixel_weight") or 1.0),
+            ),
+            donate_argnums=(0,),
+        )
+        self._rng = jax.random.PRNGKey(int(train_opt.get("manual_seed") or 0) + 1)
+        self._forward = jax.jit(self._make_forward())
+        self._data: dict = {}
+
+    def _make_forward(self):
+        def fwd(params, lr, z):
+            raw = self.g_module.apply({"params": params}, lr, z)
+            if self.cem is not None:
+                raw = self.cem.project(raw, lr)
+            return raw
+
+        return fwd
+
+    # -- reference API ----------------------------------------------------
+
+    def feed_data(self, data: dict) -> None:
+        self._data = data
+
+    def optimize_parameters(self, step: int) -> None:
+        self.step = step
+        # rng is a pure function of (seed, step): deterministic resume
+        rng = jax.random.fold_in(self._rng, step)
+        hr = jnp.asarray(self._data["HR"])
+        self.state, metrics = self._train_step(self.state, hr, rng)
+        self._losses = metrics
+
+    def test(self, z: np.ndarray | None = None) -> None:
+        lr = jnp.asarray(self._data["LR"])
+        if lr.ndim == 3:
+            lr = lr[None]
+        zz = None
+        if self.nz:
+            zz = (
+                jnp.asarray(z)
+                if z is not None
+                else jnp.zeros(lr.shape[:-1] + (self.nz,))
+            )
+        sr = self._forward(self.state.params, lr, zz)
+        self._visuals = {
+            "SR": np.asarray(sr[0]),
+            "LR": np.asarray(lr[0]),
+        }
+        if self._data.get("HR") is not None:
+            hr = np.asarray(self._data["HR"])
+            self._visuals["HR"] = hr[0] if hr.ndim == 4 else hr
+
+    def save(self, iter_label) -> None:
+        self.save_network({"params": self.state.params}, "G", iter_label)
+
+    def save_training(self, epoch: int, iter_step: int) -> None:
+        self.save_training_state(epoch, iter_step, {"G": self.state})
+
+    def resume_training(self, path: str) -> tuple[int, int]:
+        tree = self.restore_training_state(path, {"G": self.state})
+        self.state = jax.tree.map(jnp.asarray, tree["G"])
+        self.step = int(tree["iter"])
+        return int(tree["epoch"]), int(tree["iter"])

