@@ -1,0 +1,3 @@
+from esr_tpu.parallel.mesh import make_mesh, replicated, batch_sharding
+from esr_tpu.parallel.dp import make_dp_train_step, shard_batch
+from esr_tpu.parallel.spatial import spatial_sharded_forward, tiled_forward

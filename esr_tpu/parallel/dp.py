@@ -1,0 +1,55 @@
+"""Data-parallel training over an ICI mesh (SURVEY.md §5.8 TPU equivalent).
+
+Idiomatic design: states carry a replicated NamedSharding, the per-step batch
+is sharded over the ``data`` axis, and the whole train step is jitted with
+those shardings — XLA's SPMD partitioner inserts the gradient ``psum`` over
+ICI automatically (the scaling-book recipe: annotate, compile, let XLA place
+collectives). No pmap, no manual collectives, and exactly the same pure step
+function as single-chip.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_dp_train_step", "shard_batch", "replicate_states"]
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch (array or pytree) with its leading dim sharded over
+    the ``data`` axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_states(states, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), states)
+
+
+def make_dp_train_step(
+    train_step,
+    mesh: Mesh,
+    n_state_args: int = 1,
+    n_batch_args: int = 1,
+    n_extra_args: int = 0,
+    donate: bool = True,
+):
+    """Wrap a pure ``train_step(*states, *batches, *extras) -> out`` for DP.
+
+    States are replicated over the mesh, batch args sharded on the ``data``
+    axis (leading dim), extras (rng, step, ...) replicated. Shardings are
+    pytree prefixes, so each positional arg may itself be a pytree (e.g. a
+    TrainState or a batch dict).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    shardings = (
+        (repl,) * n_state_args + (data,) * n_batch_args + (repl,) * n_extra_args
+    )
+    return jax.jit(
+        train_step,
+        in_shardings=shardings,
+        donate_argnums=tuple(range(n_state_args)) if donate else (),
+    )

@@ -1,0 +1,132 @@
+"""Spatial ("context") parallelism for large-image inference (SURVEY.md §5.7).
+
+The reference processes large test images whole (memory-bound) or crops
+regions in the GUI. The conv analogue of ring-attention/sequence parallelism
+on TPU: shard the image height over the mesh's ``spatial`` axis with
+``shard_map``, exchange halo rows with neighbours via ``lax.ppermute`` over
+ICI, run the generator per shard, and crop the halos off. The generator's
+total receptive field (23 RRDBs x 3 RDBs x 5 convs ≈ 700px) makes exact
+sharding impractical; a configurable halo (default 32 LR px) bounds the
+approximation error, which decays exponentially with distance through the
+0.2-scaled residual blocks (validated in tests). CEM projection runs in its
+exact FFT form on the per-shard strip + halo, then the halo is cropped.
+
+``tiled_forward`` is the single-device analogue for memory-bound images:
+static tile grid + overlap, lax-free host loop (each tile same shape -> one
+compile), CEM projected on the full stitched image for exact consistency.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["spatial_sharded_forward", "tiled_forward"]
+
+
+def spatial_sharded_forward(
+    apply_fn,
+    mesh: Mesh,
+    scale: int = 4,
+    halo: int = 32,
+    axis: str = "spatial",
+):
+    """Build ``f(params, lr, z) -> sr`` sharding LR height over ``axis``.
+
+    ``apply_fn(params, lr, z) -> sr`` is the (optionally CEM-wrapped)
+    generator forward. LR height must divide the axis size.
+    """
+    n_shards = mesh.shape[axis]
+
+    def shard_fn(params, lr, z):
+        # lr: local strip (N, h_local, W, C)
+        idx = jax.lax.axis_index(axis)
+        up = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        down = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        top_halo = jax.lax.ppermute(lr[:, -halo:], axis, perm=up)
+        bot_halo = jax.lax.ppermute(lr[:, :halo], axis, perm=down)
+        # edge shards: replicate-pad instead of wrapping around the image
+        top_halo = jnp.where(idx == 0, lr[:, :1].repeat(halo, axis=1), top_halo)
+        bot_halo = jnp.where(
+            idx == n_shards - 1, lr[:, -1:].repeat(halo, axis=1), bot_halo
+        )
+        lr_ext = jnp.concatenate([top_halo, lr, bot_halo], axis=1)
+        z_ext = None
+        if z is not None:
+            top_z = jax.lax.ppermute(z[:, -halo:], axis, perm=up)
+            bot_z = jax.lax.ppermute(z[:, :halo], axis, perm=down)
+            top_z = jnp.where(idx == 0, z[:, :1].repeat(halo, axis=1), top_z)
+            bot_z = jnp.where(idx == n_shards - 1, z[:, -1:].repeat(halo, axis=1), bot_z)
+            z_ext = jnp.concatenate([top_z, z, bot_z], axis=1)
+        sr_ext = apply_fn(params, lr_ext, z_ext)
+        return sr_ext[:, halo * scale : -halo * scale]
+
+    in_specs = (P(), P(None, axis, None, None), P(None, axis, None, None))
+    out_specs = P(None, axis, None, None)
+
+    def fwd(params, lr, z=None):
+        if z is None:
+            f = shard_map(
+                lambda p, x: shard_fn(p, x, None),
+                mesh=mesh,
+                in_specs=in_specs[:2],
+                out_specs=out_specs,
+            )
+            return f(params, lr)
+        f = shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return f(params, lr, z)
+
+    return fwd
+
+
+def tiled_forward(
+    apply_fn,
+    params,
+    lr: jax.Array,
+    z: jax.Array | None = None,
+    tile: int = 128,
+    overlap: int = 16,
+    scale: int = 4,
+    cem=None,
+):
+    """Memory-bound large-image inference: fixed-shape overlapping LR tiles
+    (one XLA program for all tiles), stitched at HR, then one exact CEM
+    projection over the full image (consistency is global, not per-tile)."""
+    n, h, w, c = lr.shape
+    step = tile - 2 * overlap
+    if step <= 0:
+        raise ValueError("tile must exceed 2*overlap")
+    pad_h = (-(h - tile) % step) if h > tile else tile - h
+    pad_w = (-(w - tile) % step) if w > tile else tile - w
+    lr_p = jnp.pad(lr, ((0, 0), (overlap, overlap + pad_h), (overlap, overlap + pad_w), (0, 0)), mode="edge")
+    z_p = (
+        jnp.pad(z, ((0, 0), (overlap, overlap + pad_h), (overlap, overlap + pad_w), (0, 0)), mode="edge")
+        if z is not None
+        else None
+    )
+    out = jnp.zeros((n, (h + pad_h) * scale, (w + pad_w) * scale, c), dtype=jnp.float32)
+
+    tiled_apply = jax.jit(apply_fn) if not hasattr(apply_fn, "lower") else apply_fn
+    ys = range(0, h + pad_h, step)
+    xs = range(0, w + pad_w, step)
+    for y in ys:
+        for x in xs:
+            lr_t = jax.lax.dynamic_slice(lr_p, (0, y, x, 0), (n, tile, tile, c))
+            z_t = (
+                jax.lax.dynamic_slice(z_p, (0, y, x, 0), (n, tile, tile, z_p.shape[-1]))
+                if z_p is not None
+                else None
+            )
+            sr_t = tiled_apply(params, lr_t, z_t)
+            inner = sr_t[
+                :,
+                overlap * scale : (tile - overlap) * scale,
+                overlap * scale : (tile - overlap) * scale,
+            ]
+            out = jax.lax.dynamic_update_slice(out, inner, (0, y * scale, x * scale, 0))
+    out = out[:, : h * scale, : w * scale]
+    if cem is not None:
+        out = cem.project(out, lr)
+    return out

@@ -1,0 +1,121 @@
+"""Evaluation entry point (SURVEY.md §2.2 / §3.2: ``codes/test.py``).
+
+Usage parity with the reference::
+
+    python -m esr_tpu.test -opt esr_tpu/options/test/test_RRDB_PSNR.json
+
+Per test dataset: forward (jit, no grad), save SR PNGs, log per-image and
+average PSNR/SSIM (uint8 domain, optional Y-channel, border crop = scale) and
+the CEM consistency residual; explorable models are additionally evaluated
+with ``num_random_Z`` random Z draws (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True, help="path to options JSON")
+    parser.add_argument("--save_images", action="store_true")
+    args = parser.parse_args(argv)
+
+    from esr_tpu import data as data_mod
+    from esr_tpu import options as options_mod
+    from esr_tpu.models import create_model
+    from esr_tpu.utils import mkdirs, setup_logger
+
+    opt = options_mod.parse(args.opt, is_train=False)
+    mkdirs([opt["path"]["results_root"], opt["path"]["log"]])
+    setup_logger("base", opt["path"]["log"], "test", screen=True)
+    logger = logging.getLogger("base")
+
+    model = create_model(opt)
+    for phase, dataset_opt in sorted((opt["datasets"] or {}).items()):
+        test_set = data_mod.create_dataset(dataset_opt)
+        test_loader = data_mod.create_dataloader(test_set, dataset_opt)
+        name = dataset_opt.get("name") or phase
+        logger.info(f"testing [{name}]: {len(test_set)} images")
+        results = evaluate_dataset(
+            model,
+            test_loader,
+            opt,
+            save_dir=os.path.join(opt["path"]["results_root"], name)
+            if args.save_images
+            else None,
+        )
+        logger.info(
+            f"[{name}] avg PSNR: {results['psnr']:.4f} dB, avg SSIM: {results['ssim']:.4f}"
+            + (
+                f", CEM residual max: {results['cem_residual']:.3e}"
+                if "cem_residual" in results
+                else ""
+            )
+        )
+
+
+def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None = None):
+    """Shared eval loop (also used by bench + tests). Returns avg metrics."""
+    import jax.numpy as jnp
+
+    from esr_tpu.data.util import save_img
+    from esr_tpu.ops.color import rgb2ycbcr, tensor2img
+    from esr_tpu.ops.metrics import calculate_psnr, calculate_ssim, crop_border
+
+    scale = int(opt.get("scale") or 4)
+    only_y = bool(opt.get("psnr_on_y", True))
+    num_z = num_random_z if num_random_z is not None else int(opt.get("num_random_Z") or 0)
+    nz = getattr(model, "nz", 0)
+    psnrs, ssims, residuals = [], [], []
+    rng = np.random.default_rng(0)
+
+    for batch in loader:
+        sample = {
+            k: (v[0] if isinstance(v, (np.ndarray, list)) else v) for k, v in batch.items()
+        }
+        z_draws = [None]
+        if nz and num_z:
+            lr_shape = sample["LR"].shape
+            z_draws = [None] + [
+                rng.uniform(-1, 1, lr_shape[:-1] + (nz,)).astype(np.float32)
+                for _ in range(num_z)
+            ]
+        for zi, z in enumerate(z_draws):
+            model.feed_data(sample)
+            model.test(z=z) if nz else model.test()
+            vis = model.get_current_visuals()
+            sr_img = tensor2img(vis["SR"])
+            if save_dir:
+                base = os.path.splitext(os.path.basename(str(sample.get("LR_path"))))[0]
+                suffix = f"_z{zi}" if zi else ""
+                save_img(sr_img, os.path.join(save_dir, f"{base}{suffix}.png"))
+            if "HR" in vis and zi == 0:
+                hr_img = tensor2img(vis["HR"])
+                a, b = sr_img, hr_img
+                if only_y and a.ndim == 3 and a.shape[2] == 3:
+                    a, b = rgb2ycbcr(a, only_y=True), rgb2ycbcr(b, only_y=True)
+                a = crop_border(a, scale).astype(np.float64)
+                b = crop_border(b, scale).astype(np.float64)
+                psnrs.append(calculate_psnr(a, b))
+                ssims.append(calculate_ssim(a, b))
+            if getattr(model, "cem", None) is not None and zi == 0:
+                lr_back = np.asarray(
+                    model.cem.downsample(jnp.asarray(vis["SR"])[None])
+                )[0]
+                residuals.append(np.abs(lr_back - vis["LR"]).max())
+
+    out = {
+        "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+        "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+    }
+    if residuals:
+        out["cem_residual"] = float(np.max(residuals))
+    return out
+
+
+if __name__ == "__main__":
+    main()

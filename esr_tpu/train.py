@@ -1,0 +1,136 @@
+"""Training entry point (SURVEY.md §2.1 / §3.1: ``codes/train.py``).
+
+Usage parity with the reference::
+
+    python -m esr_tpu.train -opt esr_tpu/options/train/train_ESRGAN.json
+
+Loop shape mirrors the reference: parse opts -> seed -> build loaders+model ->
+iterate (feed_data -> optimize_parameters -> periodic log / val-PSNR /
+checkpoint), with resume support. TPU specifics: the fused device pipeline
+runs inside the jitted train step, validation uses the on-device PSNR twin,
+and checkpoints are orbax trees. ``--auto_resume`` resumes from the newest
+state without an explicit path (preemption-friendly, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+import sys
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True, help="path to options JSON")
+    parser.add_argument("--auto_resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    from esr_tpu import data as data_mod
+    from esr_tpu import options as options_mod
+    from esr_tpu.models import create_model
+    from esr_tpu.utils import mkdir_and_rename, mkdirs, set_random_seed, setup_logger
+    from esr_tpu.utils.logger import Logger
+
+    opt = options_mod.parse(args.opt, is_train=True)
+
+    resume_path = opt["path"].get("resume_state")
+    if args.auto_resume and not resume_path:
+        from esr_tpu.models.base_model import BaseModel
+
+        resume_path = BaseModel.latest_state_path(opt["path"]["training_state"])
+    if resume_path:
+        options_mod.check_resume(opt)
+    else:
+        mkdir_and_rename(opt["path"]["experiments_root"])
+    mkdirs([opt["path"][k] for k in ("models", "training_state", "log", "val_images")])
+
+    setup_logger("base", opt["path"]["log"], "train", screen=True)
+    logger = logging.getLogger("base")
+    options_mod.save(opt)
+
+    seed = (opt["train"] or {}).get("manual_seed") or 0
+    set_random_seed(int(seed))
+
+    train_set = val_set = train_loader = val_loader = None
+    for phase, dataset_opt in (opt["datasets"] or {}).items():
+        if phase.startswith("train"):
+            train_set = data_mod.create_dataset(dataset_opt)
+            train_loader = data_mod.create_dataloader(train_set, dataset_opt)
+            logger.info(f"train dataset [{dataset_opt.get('name')}]: {len(train_set)} images")
+        elif phase.startswith("val"):
+            val_set = data_mod.create_dataset(dataset_opt)
+            val_loader = data_mod.create_dataloader(val_set, dataset_opt)
+            logger.info(f"val dataset [{dataset_opt.get('name')}]: {len(val_set)} images")
+    if train_loader is None:
+        raise ValueError("no train dataset configured")
+
+    model = create_model(opt)
+    start_epoch, current_step = 0, 0
+    if resume_path:
+        start_epoch, current_step = model.resume_training(resume_path)
+        logger.info(f"resumed from {resume_path} (epoch {start_epoch}, iter {current_step})")
+
+    niter = int(opt["train"].get("niter") or 100000)
+    val_freq = int(opt["train"].get("val_freq") or 5000)
+    print_freq = int((opt["logger"] or {}).get("print_freq") or 100)
+    save_freq = int((opt["logger"] or {}).get("save_checkpoint_freq") or 5000)
+    total_epochs = max(1, math.ceil(niter / max(1, len(train_loader))))
+    tlogger = Logger(opt)
+    logger.info(f"training for {niter} iters (~{total_epochs} epochs)")
+
+    for epoch in range(start_epoch, total_epochs + 1):
+        for batch in train_loader:
+            current_step += 1
+            if current_step > niter:
+                break
+            model.update_learning_rate()
+            model.feed_data(batch)
+            model.optimize_parameters(current_step)
+
+            if current_step % print_freq == 0:
+                tlogger.log_scalars(
+                    current_step,
+                    epoch,
+                    model.get_current_learning_rate(),
+                    model.get_current_losses(),
+                )
+            if val_loader is not None and current_step % val_freq == 0:
+                metrics = validate(model, val_loader, opt)
+                tlogger.log_validation(current_step, epoch, metrics)
+            if current_step % save_freq == 0:
+                model.save(current_step)
+                model.save_training(epoch, current_step)
+                logger.info(f"checkpoint saved @ iter {current_step}")
+        if current_step > niter:
+            break
+
+    model.save("latest")
+    model.save_training(total_epochs, current_step)
+    logger.info("training complete")
+
+
+def validate(model, val_loader, opt) -> dict:
+    import numpy as np
+
+    from esr_tpu.ops.color import tensor2img
+    from esr_tpu.ops.metrics import calculate_psnr, crop_border
+
+    scale = int(opt.get("scale") or 4)
+    psnrs = []
+    for i, batch in enumerate(val_loader):
+        sample = {k: (v[0] if isinstance(v, (np.ndarray, list)) else v) for k, v in batch.items()}
+        model.feed_data(sample)
+        model.test()
+        vis = model.get_current_visuals()
+        if "HR" not in vis:
+            continue
+        sr = crop_border(tensor2img(vis["SR"]), scale).astype(np.float64)
+        hr = crop_border(tensor2img(vis["HR"]), scale).astype(np.float64)
+        psnrs.append(calculate_psnr(sr, hr))
+    return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan")}
+
+
+if __name__ == "__main__":
+    main()
