@@ -1,0 +1,10 @@
+from esr_tpu.explore.objectives import (
+    brightness_objective,
+    imprint_objective,
+    periodicity_objective,
+    random_diverse_objective,
+    tv_objective,
+    variance_objective,
+)
+from esr_tpu.explore.z_optimizer import ZOptimizer, optimize_z
+from esr_tpu.explore.session import ExplorationSession

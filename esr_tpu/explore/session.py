@@ -1,0 +1,223 @@
+"""Headless exploration session (SURVEY.md §2.16 capability, TPU-first).
+
+The reference ships a PyQt GUI (``codes/GUI_SR.py``) whose editing tools all
+reduce to Z-optimization calls over a selected region. This module provides
+that editing model as a headless API (CLI/notebook-friendly — a Qt front-end
+can sit on top later): load LR -> SR with Z=0; select region (rect / polygon
+/ brush mask); apply tools (imprint, variance up/down, brightness,
+periodicity 1D/2D, TV smoothing, random diverse alternatives); per-region Z
+state with undo/redo history; save outputs. Every tool maps to a single
+jitted Z-search program (esr_tpu.explore.z_optimizer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from esr_tpu.explore import objectives as obj
+from esr_tpu.explore.z_optimizer import ZOptimizer
+
+__all__ = ["ExplorationSession"]
+
+
+class ExplorationSession:
+    def __init__(
+        self,
+        forward,
+        params,
+        lr_img: np.ndarray,
+        num_latent_channels: int = 1,
+        scale: int = 4,
+        n_steps: int = 64,
+        opt_lr: float = 0.1,
+        history_limit: int = 32,
+    ):
+        """forward(params, lr, z) -> sr (CEM-wrapped for guaranteed
+        consistency of every edit)."""
+        if lr_img.ndim == 3:
+            lr_img = lr_img[None]
+        self.lr_img = np.asarray(lr_img, np.float32)
+        self.scale = scale
+        self.nz = num_latent_channels
+        n, h, w, _ = self.lr_img.shape
+        self.z = np.zeros((n, h, w, num_latent_channels), np.float32)
+        self._forward = jax.jit(forward)
+        self._params = params
+        self._optimizer = ZOptimizer(
+            forward, params, scale=scale, n_steps=n_steps, lr=opt_lr
+        )
+        self._history: list[np.ndarray] = []
+        self._redo: list[np.ndarray] = []
+        self._history_limit = history_limit
+        self._mask: np.ndarray | None = None  # HR-space float mask
+        self._box_lr: tuple | None = None
+        self._sr_cache: np.ndarray | None = None
+
+    # -- region selection --------------------------------------------------
+
+    @property
+    def hr_shape(self):
+        n, h, w, _ = self.lr_img.shape
+        return (h * self.scale, w * self.scale)
+
+    def select_rect(self, y0: int, x0: int, y1: int, x1: int) -> None:
+        """Rectangle in HR coordinates."""
+        mask = np.zeros(self.hr_shape, np.float32)
+        mask[y0:y1, x0:x1] = 1.0
+        self._set_mask(mask)
+
+    def select_polygon(self, vertices) -> None:
+        """Polygon (list of (y, x) HR coords) via even-odd rasterization."""
+        h, w = self.hr_shape
+        ys, xs = np.mgrid[0:h, 0:w]
+        mask = np.zeros((h, w), bool)
+        v = np.asarray(vertices, np.float32)
+        n = len(v)
+        inside = np.zeros((h, w), bool)
+        j = n - 1
+        for i in range(n):
+            yi, xi = v[i]
+            yj, xj = v[j]
+            cond = ((v[i, 0] > ys) != (v[j, 0] > ys)) & (
+                xs < (xj - xi) * (ys - yi) / (yj - yi + 1e-12) + xi
+            )
+            inside ^= cond
+            j = i
+        mask |= inside
+        self._set_mask(mask.astype(np.float32))
+
+    def select_mask(self, mask_hr: np.ndarray) -> None:
+        """Arbitrary brush mask (float/bool HR-space)."""
+        self._set_mask(np.asarray(mask_hr, np.float32))
+
+    def _set_mask(self, mask: np.ndarray) -> None:
+        if mask.shape != self.hr_shape:
+            raise ValueError(f"mask shape {mask.shape} != HR shape {self.hr_shape}")
+        self._mask = mask
+        ys, xs = np.nonzero(mask > 0)
+        if len(ys):
+            s = self.scale
+            self._box_lr = (
+                int(ys.min()) // s,
+                int(xs.min()) // s,
+                -(-int(ys.max() + 1) // s),
+                -(-int(xs.max() + 1) // s),
+            )
+        else:
+            self._box_lr = None
+
+    # -- core ops ----------------------------------------------------------
+
+    def current_sr(self, z: np.ndarray | None = None) -> np.ndarray:
+        z = self.z if z is None else z
+        sr = self._forward(self._params, jnp.asarray(self.lr_img), jnp.asarray(z))
+        self._sr_cache = np.asarray(sr)
+        return self._sr_cache
+
+    def _push_history(self) -> None:
+        self._history.append(self.z.copy())
+        if len(self._history) > self._history_limit:
+            self._history.pop(0)
+        self._redo.clear()
+
+    def undo(self) -> None:
+        if self._history:
+            self._redo.append(self.z.copy())
+            self.z = self._history.pop()
+            self._sr_cache = None
+
+    def redo(self) -> None:
+        if self._redo:
+            self._history.append(self.z.copy())
+            self.z = self._redo.pop()
+            self._sr_cache = None
+
+    def reset_region_z(self) -> None:
+        """Zero the Z map inside the selected region."""
+        self._push_history()
+        mask_lr = self._mask_lr()
+        self.z = self.z * (1.0 - mask_lr[None, :, :, None])
+        self._sr_cache = None
+
+    def _mask_lr(self) -> np.ndarray:
+        s = self.scale
+        m = self._mask if self._mask is not None else np.ones(self.hr_shape, np.float32)
+        h, w = m.shape
+        return m.reshape(h // s, s, w // s, s).max(axis=(1, 3))
+
+    def _run_tool(self, objective) -> np.ndarray:
+        if self._mask is None:
+            self._mask = np.ones(self.hr_shape, np.float32)
+        self._push_history()
+        z_opt, losses = self._optimizer(
+            self.lr_img, self.z, objective, mask_hr=self._mask, box_lr=self._box_lr
+        )
+        self.z = np.asarray(z_opt)
+        self._sr_cache = None
+        return np.asarray(losses)
+
+    # -- tools (the GUI button set) ---------------------------------------
+
+    def imprint(self, target_hr: np.ndarray) -> np.ndarray:
+        """Imprint desired content (e.g. rendered text/graffiti) in-region."""
+        return self._run_tool(obj.imprint_objective(jnp.asarray(target_hr, jnp.float32)))
+
+    def increase_variance(self) -> np.ndarray:
+        return self._run_tool(obj.variance_objective(+1.0))
+
+    def decrease_variance(self) -> np.ndarray:
+        return self._run_tool(obj.variance_objective(-1.0))
+
+    def brightness(self, target_level: float) -> np.ndarray:
+        return self._run_tool(obj.brightness_objective(float(target_level)))
+
+    def smooth(self) -> np.ndarray:
+        return self._run_tool(obj.tv_objective())
+
+    def periodicity(self, period_y: float = 0.0, period_x: float = 0.0) -> np.ndarray:
+        return self._run_tool(obj.periodicity_objective(period_y, period_x))
+
+    def random_alternatives(self, k: int = 3, seed: int = 0) -> list[np.ndarray]:
+        """Generate k diverse consistent alternatives for the region: random
+        Z restarts in-region, each repelled from the previously produced SRs."""
+        outs = []
+        rng = np.random.default_rng(seed)
+        mask_lr = self._mask_lr()[None, :, :, None]
+        base_z = self.z.copy()
+        anchors = [self.current_sr()]
+        for i in range(k):
+            z_init = base_z * (1 - mask_lr) + mask_lr * rng.uniform(
+                -1, 1, self.z.shape
+            ).astype(np.float32)
+            self._push_history()
+            z_opt, _ = self._optimizer(
+                self.lr_img,
+                z_init,
+                obj.random_diverse_objective(jnp.asarray(np.stack(anchors)[:, 0])),
+                mask_hr=self._mask,
+                box_lr=self._box_lr,
+            )
+            self.z = np.asarray(z_opt)
+            sr = self.current_sr()
+            anchors.append(sr)
+            outs.append(sr)
+        return outs
+
+    # -- io ---------------------------------------------------------------
+
+    def save_sr(self, path: str) -> None:
+        from esr_tpu.data.util import save_img
+        from esr_tpu.ops.color import tensor2img
+
+        save_img(tensor2img(self.current_sr()[0]), path)
+
+    def save_state(self, path: str) -> None:
+        np.savez(path, z=self.z, lr=self.lr_img)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        self.z = data["z"]
+        self.lr_img = data["lr"]
+        self._sr_cache = None

@@ -1,0 +1,127 @@
+"""Z-optimization + exploration session tests (SURVEY.md §2.12/§2.16).
+
+Core guarantees: the jitted Z search reduces its objective; every explored
+output stays exactly CEM-consistent with the LR input (the point of the whole
+system); session tools, history and region logic behave."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from esr_tpu.cem import CEMConf, make_cem
+from esr_tpu.explore import (
+    ExplorationSession,
+    ZOptimizer,
+    brightness_objective,
+    imprint_objective,
+    periodicity_objective,
+    tv_objective,
+    variance_objective,
+)
+from esr_tpu.explore.z_optimizer import bucket_crop, optimize_z
+from esr_tpu.models.architecture import RRDBNet
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = RRDBNet(nf=8, nb=1, gc=4, scale=4, num_latent_channels=1)
+    lr_img = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)), jnp.float32)
+    z0 = jnp.zeros((1, 16, 16, 1))
+    params = model.init(jax.random.PRNGKey(0), lr_img, z0)["params"]
+    cem = make_cem(CEMConf(scale=4))
+
+    def forward(p, lr, z):
+        return cem.project(model.apply({"params": p}, lr, z), lr)
+
+    return model, params, cem, forward, lr_img, z0
+
+
+def test_optimize_z_reduces_objective_and_keeps_consistency(setup):
+    _, params, cem, forward, lr_img, z0 = setup
+    mask = jnp.ones((64, 64), jnp.float32)
+    objective = variance_objective(+1.0)
+    z_opt, losses = optimize_z(
+        forward, params, lr_img, z0, mask, objective, n_steps=20, lr=0.2
+    )
+    assert float(losses[-1]) < float(losses[0])
+    assert float(jnp.abs(z_opt).max()) <= 1.0 + 1e-6
+    sr = forward(params, lr_img, z_opt)
+    lr_back = np.asarray(cem.downsample(sr))
+    assert np.abs(lr_back - np.asarray(lr_img)).max() < 1e-4
+
+
+def test_bucket_crop():
+    assert bucket_crop((0, 0, 10, 10), 64, 64, 4) == (0, 0, 16)
+    y, x, size = bucket_crop((30, 30, 50, 50), 64, 64, 4)
+    assert size == 32 and y + size <= 64 and x + size <= 64
+    # need larger than biggest bucket -> full image
+    assert bucket_crop((0, 0, 60, 60), 64, 64, 4)[2] == 64
+
+
+def test_z_optimizer_region_crop(setup):
+    _, params, cem, forward, _, _ = setup
+    # larger image so the 16px bucket crop is a strict subregion
+    lr_img = np.random.default_rng(5).random((1, 64, 64, 3)).astype(np.float32)
+    z0 = np.zeros((1, 64, 64, 1), np.float32)
+    opt = ZOptimizer(forward, params, scale=4, n_steps=10, lr=0.2)
+    mask = np.zeros((256, 256), np.float32)
+    mask[8:24, 8:24] = 1.0
+    z_opt, losses = opt(lr_img, z0, variance_objective(1.0), mask, box_lr=(2, 2, 6, 6))
+    assert z_opt.shape == z0.shape
+    # Z untouched outside the 16px bucketed crop (crop-paste semantics)
+    assert float(jnp.abs(z_opt[:, 20:, 20:]).max()) == 0.0
+    assert float(jnp.abs(z_opt).max()) > 0.0
+
+
+def test_session_tools_and_history(setup):
+    _, params, cem, forward, lr_img, _ = setup
+    sess = ExplorationSession(
+        forward, params, np.asarray(lr_img), num_latent_channels=1, n_steps=6
+    )
+    sr0 = sess.current_sr().copy()
+    sess.select_rect(16, 16, 48, 48)
+    losses = sess.increase_variance()
+    assert losses.shape == (6,)
+    sr1 = sess.current_sr()
+    assert np.abs(sr1 - sr0).max() > 0
+    # consistency after editing
+    lr_back = np.asarray(cem.downsample(jnp.asarray(sr1)))
+    assert np.abs(lr_back - sess.lr_img).max() < 1e-4
+    # undo restores
+    sess.undo()
+    np.testing.assert_array_equal(sess.z, np.zeros_like(sess.z))
+    sess.redo()
+    assert np.abs(sess.z).max() > 0
+
+    sess.smooth()
+    sess.brightness(0.8)
+    sess.periodicity(period_x=8)
+    target = np.zeros((64, 64, 3), np.float32)
+    sess.imprint(target)
+    assert len(sess._history) >= 4
+    sess.reset_region_z()
+
+
+def test_session_polygon_and_mask(setup):
+    _, params, _, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=2)
+    sess.select_polygon([(8, 8), (8, 40), (40, 40), (40, 8)])
+    assert sess._mask is not None and sess._mask.sum() > 0
+    assert sess._box_lr is not None
+    brush = np.zeros((64, 64), np.float32)
+    brush[0:8, 0:8] = 1
+    sess.select_mask(brush)
+    assert sess._box_lr == (0, 0, 2, 2)
+
+
+def test_session_random_alternatives(setup):
+    _, params, cem, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=4)
+    sess.select_rect(0, 0, 32, 32)
+    outs = sess.random_alternatives(k=2, seed=1)
+    assert len(outs) == 2
+    assert np.abs(outs[0] - outs[1]).max() > 1e-4  # diverse
+    for sr in outs:
+        lr_back = np.asarray(cem.downsample(jnp.asarray(sr)))
+        assert np.abs(lr_back - sess.lr_img).max() < 1e-4  # all consistent
