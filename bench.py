@@ -1,0 +1,139 @@
+"""Benchmark harness — emits ONE JSON line for the driver.
+
+Driver metric (BASELINE.json): "4x SR megapixels/sec/chip (RRDB+CEM); DIV2K
+GAN train steps/sec; Set5 PSNR delta". Primary value: output (HR) megapixels
+per second per chip for the full flagship RRDB(+CEM, +Z) 4x forward in
+bfloat16. Extras carry the GAN train-step rate (BENCH_TRAIN=1; off by default
+to keep the driver run short) and the CEM consistency residual.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md); the anchor
+is an arithmetic V100-fp32 estimate for the same network: ~2.16 TFLOP per HR
+megapixel (16.7M-param RRDB trunk at LR resolution + upsample stages) against
+~6 TFLOP/s sustained conv throughput => ~2.7 HR-MP/s. The ">=5x V100" target
+therefore means >= ~13.5 MP/s/chip here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+V100_BASELINE_MPS = 2.7  # estimated reference V100 fp32 throughput (see above)
+
+
+def bench_inference(batch: int = 4, lr_size: int = 192, iters: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.cem import CEMConf, make_cem
+    from esr_tpu.models.architecture import RRDBNet
+
+    model = RRDBNet(
+        nf=64, nb=23, gc=32, scale=4, num_latent_channels=1, dtype=jnp.bfloat16
+    )
+    cem = make_cem(CEMConf(scale=4))
+    rng = np.random.default_rng(0)
+    lr_img = jnp.asarray(rng.random((batch, lr_size, lr_size, 3)), jnp.float32)
+    z = jnp.zeros((batch, lr_size, lr_size, 1), jnp.float32)
+    params = RRDBNet(
+        nf=64, nb=23, gc=32, scale=4, num_latent_channels=1
+    ).init(jax.random.PRNGKey(0), lr_img[:1], z[:1])["params"]
+
+    @jax.jit
+    def fwd(params, lr_img, z):
+        return cem.project(model.apply({"params": params}, lr_img, z), lr_img)
+
+    out = fwd(params, lr_img, z)
+    jax.block_until_ready(out)  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, lr_img, z)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    hr_mp = batch * (lr_size * 4) ** 2 / 1e6
+    residual = float(
+        jnp.abs(cem.downsample(out.astype(jnp.float32)) - lr_img).max()
+    )
+    return {"mp_per_s": hr_mp / dt, "sec_per_batch": dt, "cem_residual": residual}
+
+
+def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.cem import CEMConf, make_cem
+    from esr_tpu.data.pipeline import make_train_pipeline
+    from esr_tpu.models.architecture import (
+        DiscriminatorVGG128,
+        RRDBNet,
+        VGG19FeatureExtractor,
+    )
+    from esr_tpu.models.base_model import TrainState, make_adam, multistep_schedule
+    from esr_tpu.models.srragan_model import make_gan_train_step
+
+    scale, nz = 4, 1
+    g_module = RRDBNet(nf=64, nb=23, gc=32, scale=scale, num_latent_channels=nz, dtype=jnp.bfloat16)
+    d_module = DiscriminatorVGG128(nf=64, dtype=jnp.bfloat16)
+    f_module = VGG19FeatureExtractor(dtype=jnp.bfloat16)
+    cem = make_cem(CEMConf(scale=scale))
+    rng = jax.random.PRNGKey(0)
+    lr_size = hr_size // scale
+    g_vars = g_module.init(rng, jnp.zeros((1, lr_size, lr_size, 3)), jnp.zeros((1, lr_size, lr_size, nz)))
+    d_vars = d_module.init(rng, jnp.zeros((1, hr_size, hr_size, 3)), train=False)
+    f_vars = f_module.init(rng, jnp.zeros((1, hr_size, hr_size, 3)))
+    sched = multistep_schedule(1e-4, [50000])
+    g_state = TrainState.create(apply_fn=g_module.apply, params=g_vars["params"], tx=make_adam(sched))
+    d_state = TrainState.create(
+        apply_fn=d_module.apply, params=d_vars["params"], tx=make_adam(sched),
+        batch_stats=d_vars.get("batch_stats"),
+    )
+    pipeline = make_train_pipeline(scale=scale, num_latent_channels=nz)
+    cfg = {
+        "pixel_weight": 0.01, "feature_weight": 1.0, "gan_weight": 0.005,
+        "range_weight": 1.0, "map_weight": 1.0, "gan_type": "vanilla",
+        "D_update_ratio": 1, "D_init_iters": 0,
+    }
+    step = jax.jit(
+        make_gan_train_step(g_module, d_module, f_module, f_vars, cem, pipeline, cfg),
+        donate_argnums=(0, 1),
+    )
+    hr = jnp.asarray(np.random.default_rng(1).random((batch, hr_size, hr_size, 3)), jnp.float32)
+    g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(0))
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(i + 1))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+    return {"train_steps_per_s": 1.0 / dt, "sec_per_step": dt}
+
+
+def main() -> None:
+    result = bench_inference(
+        batch=int(os.environ.get("BENCH_BATCH", 4)),
+        lr_size=int(os.environ.get("BENCH_LR_SIZE", 192)),
+        iters=int(os.environ.get("BENCH_ITERS", 10)),
+    )
+    extra = {"cem_consistency_max_err": result["cem_residual"]}
+    if os.environ.get("BENCH_TRAIN") == "1":
+        extra.update(bench_gan_train())
+    print(
+        json.dumps(
+            {
+                "metric": "rrdb_cem_4x_sr_throughput",
+                "value": round(result["mp_per_s"], 3),
+                "unit": "HR_megapixels/sec/chip",
+                "vs_baseline": round(result["mp_per_s"] / V100_BASELINE_MPS, 2),
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

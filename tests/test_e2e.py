@@ -1,0 +1,134 @@
+"""End-to-end slice tests (SURVEY.md §7.5): config JSON -> data -> model ->
+train iters -> eval -> PNGs, via the real CLI entry points on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    """A tiny on-disk image dataset (PNG round-trip through cv2)."""
+    from esr_tpu.data.lrhr_dataset import SyntheticDataset
+    from esr_tpu.data.util import save_img
+    from esr_tpu.ops.color import tensor2img
+
+    root = tmp_path_factory.mktemp("imgs")
+    ds = SyntheticDataset({"phase": "val", "n_images": 3, "image_size": 96})
+    for i in range(3):
+        save_img(tensor2img(ds[i]["HR"]), str(root / f"img{i}.png"))
+    return str(root)
+
+
+def test_train_cli_end_to_end(tmp_path, image_dir):
+    from esr_tpu.train import main as train_main
+
+    opt = {
+        "name": "e2e_test",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "datasets": {
+            "train": {
+                "name": "folder",
+                "mode": "LRHR",
+                "dataroot_HR": image_dir,
+                "HR_size": 32,
+                "batch_size": 2,
+                "use_shuffle": True,
+            },
+            "val": {"name": "folder_val", "mode": "LRHR", "dataroot_HR": image_dir},
+        },
+        "path": {"root": str(tmp_path)},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "train": {
+            "lr_G": 1e-3,
+            "niter": 4,
+            "val_freq": 2,
+            "manual_seed": 0,
+            "pixel_criterion": "l1",
+            "pixel_weight": 1.0,
+        },
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2},
+    }
+    opt_path = tmp_path / "opt.json"
+    opt_path.write_text(json.dumps(opt))
+    train_main(["-opt", str(opt_path)])
+
+    exp = tmp_path / "experiments" / "e2e_test"
+    assert (exp / "options.json").exists()
+    assert (exp / "train_metrics.csv").exists()
+    models = os.listdir(exp / "models")
+    assert any("latest_G" in m for m in models), models
+    states = os.listdir(exp / "training_state")
+    assert states
+
+    # auto-resume from the saved state
+    train_main(["-opt", str(opt_path), "--auto_resume"])
+
+
+def test_test_cli_end_to_end(tmp_path, image_dir, capsys):
+    from esr_tpu.test import main as test_main
+
+    opt = {
+        "name": "e2e_eval",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "use_cem": True,
+        "datasets": {
+            "test_1": {"name": "folder", "mode": "LRHR", "dataroot_HR": image_dir}
+        },
+        "path": {"root": str(tmp_path)},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+    }
+    opt_path = tmp_path / "opt_test.json"
+    opt_path.write_text(json.dumps(opt))
+    test_main(["-opt", str(opt_path), "--save_images"])
+    results = tmp_path / "results" / "e2e_eval"
+    pngs = list((results / "folder").glob("*.png"))
+    assert len(pngs) == 3
+
+
+def test_device_pipeline_lr_matches_host():
+    """The fused device pipeline's LR synthesis equals host imresize_np."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.data.pipeline import make_train_pipeline
+    from esr_tpu.ops.resize import imresize_np
+
+    rng = np.random.default_rng(0)
+    hr = rng.random((2, 32, 32, 3)).astype(np.float32)
+    pipe = jax.jit(make_train_pipeline(scale=4, use_flip=False, use_rot=False))
+    out = pipe(jnp.asarray(hr), jax.random.PRNGKey(0))
+    assert out["LR"].shape == (2, 8, 8, 3)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out["LR"][i]), imresize_np(hr[i], scale=0.25), atol=2e-5
+        )
+
+
+def test_device_pipeline_augment_and_z():
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.data.pipeline import make_train_pipeline
+
+    rng = np.random.default_rng(1)
+    hr = rng.random((4, 16, 16, 3)).astype(np.float32)
+    pipe = jax.jit(make_train_pipeline(scale=4, num_latent_channels=2))
+    out = pipe(jnp.asarray(hr), jax.random.PRNGKey(0))
+    assert out["Z"].shape == (4, 4, 4, 2)
+    assert float(jnp.abs(out["Z"]).max()) <= 1.0
+    # augmentation keeps the HR/LR pair aligned: LR of augmented HR
+    from esr_tpu.ops.resize import imresize_np
+
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out["LR"][i]),
+            imresize_np(np.asarray(out["HR"][i]), scale=0.25),
+            atol=2e-5,
+        )
