@@ -24,6 +24,16 @@ import numpy as np
 V100_BASELINE_MPS = 2.7  # estimated reference V100 fp32 throughput (see above)
 
 
+def _zeros_params(model, *example_args):
+    """Parameter tree with the right shapes without compiling an init program
+    (throughput benches don't care about values)."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example_args))
+    return jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes["params"])
+
+
 def bench_inference(batch: int = 4, lr_size: int = 192, iters: int = 10) -> dict:
     import jax
     import jax.numpy as jnp
@@ -38,9 +48,7 @@ def bench_inference(batch: int = 4, lr_size: int = 192, iters: int = 10) -> dict
     rng = np.random.default_rng(0)
     lr_img = jnp.asarray(rng.random((batch, lr_size, lr_size, 3)), jnp.float32)
     z = jnp.zeros((batch, lr_size, lr_size, 1), jnp.float32)
-    params = RRDBNet(
-        nf=64, nb=23, gc=32, scale=4, num_latent_channels=1
-    ).init(jax.random.PRNGKey(0), lr_img[:1], z[:1])["params"]
+    params = _zeros_params(model, lr_img[:1], z[:1])
 
     @jax.jit
     def fwd(params, lr_img, z):
@@ -114,6 +122,10 @@ def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 5) -> dict
 
 
 def main() -> None:
+    import jax
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     result = bench_inference(
         batch=int(os.environ.get("BENCH_BATCH", 4)),
         lr_size=int(os.environ.get("BENCH_LR_SIZE", 192)),

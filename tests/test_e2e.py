@@ -132,3 +132,15 @@ def test_device_pipeline_augment_and_z():
             imresize_np(np.asarray(out["HR"][i]), scale=0.25),
             atol=2e-5,
         )
+
+
+def test_profiler_step_timer():
+    import jax.numpy as jnp
+
+    from esr_tpu.utils.profiler import StepTimer
+
+    timer = StepTimer(warmup=1)
+    for _ in range(3):
+        with timer.step() as out:
+            out["fence"] = jnp.ones((8, 8)) * 2
+    assert len(timer.times) == 2 and timer.mean > 0
