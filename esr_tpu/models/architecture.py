@@ -24,6 +24,7 @@ from esr_tpu.models.blocks import (
     RRDB,
     ConvLRelu,
     Dtype,
+    FusedUpsampleConvLRelu,
     kaiming_scaled,
     lrelu,
     upsample_nearest_2x,
@@ -42,6 +43,7 @@ class RRDBNet(nn.Module):
     scale: int = 4
     num_latent_channels: int = 0
     latent_input: str = "first_layer"  # 'first_layer' | 'all_layers' | 'none'
+    fused_upsample: bool = True  # 4-parity rewrite of upsample+conv (exact)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,8 +72,13 @@ class RRDBNet(nn.Module):
         fea = fea + trunk
         n_up = {1: 0, 2: 1, 4: 2, 8: 3}[self.scale]
         for i in range(n_up):
-            fea = upsample_nearest_2x(fea)
-            fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
+            if self.fused_upsample:
+                fea = FusedUpsampleConvLRelu(
+                    self.nf, dtype=self.dtype, name=f"upconv{i + 1}"
+                )(fea)
+            else:
+                fea = upsample_nearest_2x(fea)
+                fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
         fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name="HRconv")(fea)
         out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, name="conv_last")(fea)
         return out.astype(jnp.float32)

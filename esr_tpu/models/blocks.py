@@ -98,3 +98,37 @@ def upsample_nearest_2x(x):
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only twin of nn.Conv: declares kernel/bias at the same tree
+    path ('<name>/kernel|bias') so fused ops stay checkpoint-compatible with
+    the unfused conv variant."""
+
+    shape: tuple  # (kh, kw, cin, cout)
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_scaled(self.init_scale), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class FusedUpsampleConvLRelu(nn.Module):
+    """lrelu(conv3x3(nearest_2x(x))) via the 4-parity 2x2-conv rewrite
+    (esr_tpu.ops.fused) — 2.25x fewer FLOPs, no materialized upsample,
+    param-tree-identical to upsample_nearest_2x + ConvLRelu."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from esr_tpu.ops.fused import upsample2x_conv3x3
+
+        k, b = _ConvParams((3, 3, x.shape[-1], self.features), name="Conv_0")()
+        out = upsample2x_conv3x3(
+            x.astype(self.dtype), k.astype(self.dtype), b.astype(self.dtype)
+        )
+        return lrelu(out)

@@ -222,3 +222,32 @@ def test_torch_oracle_forward_parity(key_style):
     np.testing.assert_allclose(
         np.asarray(y_j), y_t.transpose(0, 2, 3, 1), atol=2e-5
     )
+
+
+def test_fused_upsample_conv_equivalence():
+    """The 4-parity rewrite equals upsample->conv3x3 exactly, and the fused
+    RRDBNet (default) matches the unfused variant with identical params."""
+    import jax.numpy as jnp
+
+    from esr_tpu.models.blocks import upsample_nearest_2x
+    from esr_tpu.ops.fused import upsample2x_conv3x3
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 5)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((3, 3, 5, 4)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        upsample_nearest_2x(x), kern, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    fused = upsample2x_conv3x3(x, kern, bias)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+    lr = jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)
+    fused_model = RRDBNet(nf=8, nb=1, gc=4, scale=4, fused_upsample=True)
+    plain_model = RRDBNet(nf=8, nb=1, gc=4, scale=4, fused_upsample=False)
+    variables = fused_model.init(jax.random.PRNGKey(0), lr)
+    # identical param tree (checkpoint compatibility) -> reuse directly
+    y_fused = fused_model.apply(variables, lr)
+    y_plain = plain_model.apply(variables, lr)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain), atol=1e-5)
