@@ -117,8 +117,13 @@ def _normalize_rrdb_keys(state: dict) -> dict:
     return out
 
 
-def load_rrdb_from_torch(state_dict: dict, nb: int = 23) -> dict:
-    """torch RRDBNet state_dict -> flax params tree for our RRDBNet."""
+def load_rrdb_from_torch(state_dict: dict, nb: int = 23, scan: bool = True) -> dict:
+    """torch RRDBNet state_dict -> flax params tree for our RRDBNet.
+
+    ``scan=True`` emits the default scan layout (blocks stacked under
+    ``rrdb_scan/block`` with a leading (nb,) axis); ``scan=False`` the
+    unrolled ``rrdb{i}`` layout.
+    """
     sd = _normalize_rrdb_keys(
         {k: v for k, v in state_dict.items() if "weight" in k or "bias" in k}
     )
@@ -141,6 +146,7 @@ def load_rrdb_from_torch(state_dict: dict, nb: int = 23) -> dict:
         "HRconv": conv(maybe_seq("HRconv")),
         "conv_last": conv(maybe_seq("conv_last")),
     }
+    blocks = []
     for i in range(nb):
         rrdb = {}
         for j in range(1, 4):
@@ -148,10 +154,25 @@ def load_rrdb_from_torch(state_dict: dict, nb: int = 23) -> dict:
             for k in range(1, 6):
                 rdb[f"conv{k}"] = conv(maybe_seq(f"RRDB_trunk.{i}.RDB{j}.conv{k}"))
             rrdb[f"rdb{j}"] = rdb
-        params[f"rrdb{i}"] = rrdb
+        blocks.append(rrdb)
+    if scan:
+        params["rrdb_scan"] = {
+            "block": jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+        }
+    else:
+        for i, blk in enumerate(blocks):
+            params[f"rrdb{i}"] = blk
     for i in (1, 2):
         params[f"upconv{i}"] = conv(maybe_seq(f"upconv{i}"))
     return {"params": jax.tree.map(jnp.asarray, params)}
+
+
+def stack_rrdb_params(params: dict, nb: int) -> dict:
+    """Convert an unrolled ``rrdb{i}`` param tree to the scan layout."""
+    out = {k: v for k, v in params.items() if not k.startswith("rrdb")}
+    blocks = [params[f"rrdb{i}"] for i in range(nb)]
+    out["rrdb_scan"] = {"block": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)}
+    return out
 
 
 def load_vgg19_from_torch(state_dict: dict, feature_layer: int = 34) -> dict:

@@ -251,3 +251,22 @@ def test_fused_upsample_conv_equivalence():
     y_fused = fused_model.apply(variables, lr)
     y_plain = plain_model.apply(variables, lr)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain), atol=1e-5)
+
+
+def test_scan_blocks_equivalence():
+    """scan_blocks (default) matches the unrolled trunk with stacked params."""
+    from esr_tpu.models.networks import stack_rrdb_params
+
+    rng = np.random.default_rng(8)
+    lr = jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)
+    plain = RRDBNet(nf=8, nb=3, gc=4, scale=4, scan_blocks=False)
+    scanned = RRDBNet(nf=8, nb=3, gc=4, scale=4, scan_blocks=True)
+    p_plain = plain.init(jax.random.PRNGKey(0), lr)["params"]
+    p_scan = {"params": stack_rrdb_params(p_plain, nb=3)}
+    y_plain = plain.apply({"params": p_plain}, lr)
+    y_scan = scanned.apply(p_scan, lr)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_plain), atol=1e-5)
+    # param counts identical
+    def n(t):
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(t))
+    assert n(p_scan) == n(p_plain)
