@@ -125,3 +125,21 @@ def test_session_random_alternatives(setup):
     for sr in outs:
         lr_back = np.asarray(cem.downsample(jnp.asarray(sr)))
         assert np.abs(lr_back - sess.lr_img).max() < 1e-4  # all consistent
+
+
+def test_cli_commands(setup, tmp_path):
+    """Drive the terminal editor command loop against a live session."""
+    from esr_tpu.explore.cli import run_command
+    from esr_tpu.explore.session import ExplorationSession
+
+    _, params, _, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=2)
+    assert "selected" in run_command(sess, "select 0 0 32 32")
+    assert "variance" in run_command(sess, "variance +")
+    assert "smooth" in run_command(sess, "smooth")
+    assert "undone" == run_command(sess, "undo")
+    out = tmp_path / "sr.png"
+    assert str(out) in run_command(sess, f"save {out}")
+    assert out.exists()
+    assert run_command(sess, "quit") == ""
+    assert "unknown" in run_command(sess, "bogus")
