@@ -24,12 +24,23 @@ __all__ = [
 
 def create_dataset(dataset_opt: dict):
     mode = (dataset_opt.get("mode") or "LRHR").upper()
-    if mode == "LRHR":
+    if mode in ("LRHR", "LRHR_LMDB"):
+        root = str(dataset_opt.get("dataroot_HR") or "")
+        if mode == "LRHR_LMDB" or root.endswith(".lmdb"):
+            raise NotImplementedError(
+                "LMDB backend is unavailable in this environment (no lmdb "
+                "module); use mode='PACKED' (esr_tpu.scripts.create_packed_dataset) "
+                "for the same fast-random-access workflow"
+            )
         return LRHRDataset(dataset_opt)
     if mode == "LR":
         return LRDataset(dataset_opt)
     if mode == "SYNTHETIC":
         return SyntheticDataset(dataset_opt)
+    if mode == "PACKED":
+        from esr_tpu.data.packed import PackedDataset
+
+        return PackedDataset(dataset_opt)
     raise NotImplementedError(f"dataset mode {mode} not recognized")
 
 

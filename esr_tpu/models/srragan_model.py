@@ -47,6 +47,7 @@ def make_gan_train_step(
 ):
     """Build the pure GAN train step (see module docstring)."""
     gan_type = cfg.get("gan_type") or "vanilla"
+    w_gp = float(cfg.get("gp_weight") or (10.0 if gan_type == "wgan-gp" else 0.0))
     w_pix = float(cfg.get("pixel_weight") or 0.0)
     w_feat = float(cfg.get("feature_weight") or 0.0)
     w_gan = float(cfg.get("gan_weight") or 0.005)
@@ -74,6 +75,7 @@ def make_gan_train_step(
         return d_module.apply(variables, x, train=False), d_state.batch_stats
 
     def train_step(g_state: TrainState, d_state: TrainState, hr_batch, rng, step):
+        rng, rng_gp = jax.random.split(rng)
         batch = pipeline(hr_batch, rng)
         lr_img, hr_img, z = batch["LR"], batch["HR"], batch.get("Z")
         if cem is not None:
@@ -89,6 +91,14 @@ def make_gan_train_step(
             logits, new_stats = d_apply(ds, jnp.concatenate([hr_img, fake_sg], 0))
             d_real, d_fake = jnp.split(logits, 2, axis=0)
             loss = L.ragan_d_loss(d_real, d_fake, gan_type)
+            if w_gp:
+                loss += w_gp * L.gradient_penalty(
+                    lambda p, x: d_apply(ds.replace(params=p), x, train=False)[0],
+                    d_params,
+                    hr_img,
+                    fake_sg,
+                    rng_gp,
+                )
             return loss, (new_stats, d_real, d_fake)
 
         (l_d, (new_stats, d_real_v, d_fake_v)), d_grads = jax.value_and_grad(

@@ -192,3 +192,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert model.get_current_losses()["l_pix"] == pytest.approx(
         model2.get_current_losses()["l_pix"], rel=1e-5
     )
+
+
+def test_gan_wgan_gp_variant(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan")
+    opt["train"]["gan_type"] = "wgan-gp"
+    opt["train"]["gp_weight"] = 10.0
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    losses = model.get_current_losses()
+    assert np.isfinite(list(losses.values())).all()
+
+
+def test_packed_dataset_roundtrip(tmp_path):
+    from esr_tpu.data import create_dataset
+    from esr_tpu.data.packed import write_packed
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(4)]
+    write_packed(imgs, str(tmp_path / "pack"))
+    ds = create_dataset(
+        {"mode": "PACKED", "dataroot_HR": str(tmp_path / "pack"), "HR_size": 32, "phase": "train"}
+    )
+    assert len(ds) == 4
+    s = ds[1]
+    assert s["HR"].shape == (32, 32, 3) and s["HR"].dtype == np.uint8
+    # LMDB gated with a clear error
+    with pytest.raises(NotImplementedError):
+        create_dataset({"mode": "LRHR", "dataroot_HR": "foo.lmdb"})
