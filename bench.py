@@ -24,16 +24,6 @@ import numpy as np
 V100_BASELINE_MPS = 2.7  # estimated reference V100 fp32 throughput (see above)
 
 
-def _zeros_params(model, *example_args):
-    """Parameter tree with the right shapes without compiling an init program
-    (throughput benches don't care about values)."""
-    import jax
-    import jax.numpy as jnp
-
-    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *example_args))
-    return jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes["params"])
-
-
 def bench_inference(batch: int = 4, lr_size: int = 192, iters: int = 10) -> dict:
     import jax
     import jax.numpy as jnp
@@ -48,7 +38,11 @@ def bench_inference(batch: int = 4, lr_size: int = 192, iters: int = 10) -> dict
     rng = np.random.default_rng(0)
     lr_img = jnp.asarray(rng.random((batch, lr_size, lr_size, 3)), jnp.float32)
     z = jnp.zeros((batch, lr_size, lr_size, 1), jnp.float32)
-    params = _zeros_params(model, lr_img[:1], z[:1])
+    # real Kaiming init at a tiny shape (conv params are shape-independent;
+    # scan trunk keeps this compile small) so numerics are realistic
+    params = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8, 1))
+    )["params"]
 
     @jax.jit
     def fwd(params, lr_img, z):

@@ -65,6 +65,11 @@ class CEM:
         q, q_center = lr_autocorrelation(k2d, s)
         self._q = q
         self._q_center = q_center
+        self._inv_spatial = None
+        if conf.inv_mode == "filter":
+            self._inv_spatial = jnp.asarray(
+                self.inv_hht_spatial_filter(conf.inv_filter_support)
+            )
 
     # -- H ----------------------------------------------------------------
 
@@ -113,7 +118,29 @@ class CEM:
         return jnp.asarray(np.fft.fft2(q))
 
     def apply_inv_hht(self, y: jax.Array) -> jax.Array:
-        """(H H^T)^{-1} y on the LR grid (exact circular inverse, eps floor)."""
+        """(H H^T)^{-1} y on the LR grid.
+
+        inv_mode='fft': exact circular inverse (eps floor). inv_mode='filter':
+        truncated spatial inverse filter as a depthwise conv (the reference's
+        realization) — all-conv hot path, small truncation error bounded by
+        ``inv_filter_support``.
+        """
+        if self._inv_spatial is not None:
+            r = self._inv_spatial.shape[0] // 2
+            yp = jnp.pad(y, ((0, 0), (r, r), (r, r), (0, 0)), mode="wrap")
+            c = y.shape[-1]
+            kern = jnp.tile(self._inv_spatial[:, :, None, None], (1, 1, 1, c)).astype(
+                y.dtype
+            )
+            return jax.lax.conv_general_dilated(
+                yp,
+                kern,
+                (1, 1),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         h, w = y.shape[-3], y.shape[-2]
         fq = self._q_freq(h, w, y.dtype)
         # eps floor on magnitude to avoid division blowup (reference mechanism)

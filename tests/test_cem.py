@@ -140,3 +140,18 @@ def test_spatial_inverse_filter_mode(cem4):
     )
     rel = np.abs(np.asarray(approx) - exact).max() / (np.abs(exact).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_filter_inv_mode_end_to_end():
+    """inv_mode='filter' (all-conv hot path) approximates the exact FFT mode:
+    consistency residual bounded by the truncation, improving with support."""
+    rng = np.random.default_rng(10)
+    lr = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    g = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    residuals = {}
+    for support in (13, 33):
+        cem_f = make_cem(CEMConf(scale=4, inv_mode="filter", inv_filter_support=support))
+        out = cem_f.project(g, lr)
+        residuals[support] = float(np.abs(np.asarray(cem_f.downsample(out)) - np.asarray(lr)).max())
+    assert residuals[33] < residuals[13]
+    assert residuals[33] < 2e-3, residuals
