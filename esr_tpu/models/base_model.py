@@ -23,7 +23,38 @@ import numpy as np
 import optax
 from flax.training import train_state
 
-__all__ = ["BaseModel", "TrainState", "multistep_schedule", "make_adam"]
+__all__ = [
+    "BaseModel",
+    "TrainState",
+    "multistep_schedule",
+    "make_adam",
+    "maybe_dp_step",
+]
+
+
+def maybe_dp_step(step_fn, opt: dict, n_state_args: int, n_batch_args: int = 1, n_extra_args: int = 0):
+    """jit a pure train step; with >1 visible device (and unless
+    ``opt['dist'] == False``) shard the batch over a data mesh — the TPU
+    version of the reference's automatic nn.DataParallel wrap (SURVEY §2.13).
+
+    Returns (jitted_step, mesh_or_None). States must be replicated onto the
+    mesh by the caller before the first call (see ``replicate_states``).
+    """
+    n_dev = len(jax.devices())
+    use_dp = bool(opt.get("dist"))  # explicit opt-in: global batch must
+    # divide the data-axis size
+    if use_dp and n_dev > 1:
+        from esr_tpu.parallel.dp import make_dp_train_step
+        from esr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        return (
+            make_dp_train_step(
+                step_fn, mesh, n_state_args, n_batch_args, n_extra_args
+            ),
+            mesh,
+        )
+    return jax.jit(step_fn, donate_argnums=tuple(range(n_state_args))), None
 
 
 class TrainState(train_state.TrainState):

@@ -89,14 +89,18 @@ class SRModel(BaseModel):
             use_rot=bool(train_opt.get("use_rot", True)),
             num_latent_channels=self.nz,
         )
-        self._train_step = jax.jit(
+        from esr_tpu.models.base_model import maybe_dp_step
+
+        self._train_step, self._mesh = maybe_dp_step(
             make_sr_train_step(
                 self.g_module,
                 pipeline,
                 train_opt.get("pixel_criterion") or "l1",
                 float(train_opt.get("pixel_weight") or 1.0),
             ),
-            donate_argnums=(0,),
+            opt,
+            n_state_args=1,
+            n_extra_args=1,
         )
         self._rng = jax.random.PRNGKey(int(train_opt.get("manual_seed") or 0) + 1)
         self._forward = jax.jit(self._make_forward())
@@ -120,7 +124,12 @@ class SRModel(BaseModel):
         self.step = step
         # rng is a pure function of (seed, step): deterministic resume
         rng = jax.random.fold_in(self._rng, step)
-        hr = jnp.asarray(self._data["HR"])
+        hr = np.asarray(self._data["HR"])
+        if self._mesh is not None and not getattr(self, "_placed", False):
+            from esr_tpu.parallel.dp import replicate_states
+
+            self.state = replicate_states(self.state, self._mesh)
+            self._placed = True
         self.state, metrics = self._train_step(self.state, hr, rng)
         self._losses = metrics
 

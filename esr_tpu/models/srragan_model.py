@@ -29,7 +29,13 @@ import numpy as np
 from esr_tpu.cem import CEMConf, make_cem
 from esr_tpu.data.pipeline import make_train_pipeline
 from esr_tpu.models import losses as L
-from esr_tpu.models.base_model import BaseModel, TrainState, make_adam, multistep_schedule
+from esr_tpu.models.base_model import (
+    BaseModel,
+    TrainState,
+    make_adam,
+    maybe_dp_step,
+    multistep_schedule,
+)
 from esr_tpu.models.networks import define_D, define_F, define_G
 from esr_tpu.ops.metrics import psnr_jax
 
@@ -216,17 +222,17 @@ class SRRaGANModel(BaseModel):
                 use_rot=True,
                 num_latent_channels=self.nz,
             )
-            self._train_step = jax.jit(
-                make_gan_train_step(
-                    self.g_module,
-                    self.d_module,
-                    self.f_module,
-                    self.f_variables,
-                    self.cem,
-                    pipeline,
-                    train_opt,
-                ),
-                donate_argnums=(0, 1),
+            step_fn = make_gan_train_step(
+                self.g_module,
+                self.d_module,
+                self.f_module,
+                self.f_variables,
+                self.cem,
+                pipeline,
+                train_opt,
+            )
+            self._train_step, self._mesh = maybe_dp_step(
+                step_fn, opt, n_state_args=2, n_extra_args=2
             )
         else:
             import optax
@@ -257,7 +263,16 @@ class SRRaGANModel(BaseModel):
         self.step = step
         # rng is a pure function of (seed, step): deterministic resume
         rng = jax.random.fold_in(self._rng, step)
-        hr = jnp.asarray(self._data["HR"])
+        # keep the batch host-side/uncommitted: jit places it per the step's
+        # in_shardings (sharded over 'data' under DP, default device otherwise)
+        hr = np.asarray(self._data["HR"])
+        if self._mesh is not None and not getattr(self, "_placed", False):
+            from esr_tpu.parallel.dp import replicate_states
+
+            self.g_state, self.d_state = replicate_states(
+                (self.g_state, self.d_state), self._mesh
+            )
+            self._placed = True
         self.g_state, self.d_state, metrics = self._train_step(
             self.g_state, self.d_state, hr, rng, jnp.int32(step)
         )

@@ -223,3 +223,34 @@ def test_packed_dataset_roundtrip(tmp_path):
     # LMDB gated with a clear error
     with pytest.raises(NotImplementedError):
         create_dataset({"mode": "LRHR", "dataroot_HR": "foo.lmdb"})
+
+
+def test_trainers_data_parallel_via_dist_flag(tmp_path):
+    """opt['dist']=True runs the OO trainers over the 8-device mesh and
+    matches the single-device loss on the same global batch."""
+    from esr_tpu.models import create_model
+
+    batch = make_batch(n=8)
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    single = create_model(opt)
+    single.feed_data(batch)
+    single.optimize_parameters(0)
+    l_single = single.get_current_losses()["l_pix"]
+
+    opt_dp = tiny_train_opt(tmp_path, model="sr")
+    opt_dp["dist"] = True
+    dp = create_model(opt_dp)
+    assert dp._mesh is not None
+    dp.feed_data(batch)
+    dp.optimize_parameters(0)
+    l_dp = dp.get_current_losses()["l_pix"]
+    assert l_single == pytest.approx(l_dp, rel=1e-5)
+
+    # GAN trainer compiles + runs a DP step too
+    opt_gan = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt_gan["dist"] = True
+    gan = create_model(opt_gan)
+    gan.feed_data(batch)
+    gan.optimize_parameters(0)
+    assert np.isfinite(list(gan.get_current_losses().values())).all()
