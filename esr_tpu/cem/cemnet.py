@@ -44,10 +44,12 @@ __all__ = ["CEMConf", "CEM", "make_cem"]
 @dataclasses.dataclass(frozen=True)
 class CEMConf:
     scale: int = 4
-    kernel: tuple | None = None  # optional custom 2-D kernel (nested tuples / array)
+    kernel: tuple | None = None  # optional custom 1-D/2-D kernel (nested tuples)
     eps: float = 1e-7  # magnitude floor for the frequency-domain inverse
     pad_lr: int = 0  # replicate pre-padding (LR pixels) to hide wraparound
-    inv_mode: str = "fft"  # 'fft' (exact) | 'filter' (truncated spatial)
+    inv_mode: str = "auto"  # 'auto' | 'matmul' | 'fft' | 'filter'
+    # auto -> 'matmul' for separable kernels (exact + fastest: the whole
+    # projection becomes ~6 MXU matmuls, see _axis_matrices), else 'fft'
     inv_filter_support: int = 21  # spatial support (LR px) for 'filter' mode
 
 
@@ -70,6 +72,64 @@ class CEM:
             self._inv_spatial = jnp.asarray(
                 self.inv_hht_spatial_filter(conf.inv_filter_support)
             )
+        # separable fast path: 1-D kernel + phase (bicubic or provided 1-D)
+        self._k1 = self._rel1 = None
+        if kernel is None:
+            from esr_tpu.cem.kernels import bicubic_downsample_kernel_1d
+
+            self._k1, self._rel1 = bicubic_downsample_kernel_1d(s)
+        elif kernel.ndim == 1:
+            k1 = kernel / kernel.sum()
+            self._k1, self._rel1 = k1, -(len(k1) - s) // 2
+        self._mode = conf.inv_mode
+        if self._mode == "auto":
+            self._mode = "matmul" if self._k1 is not None else "fft"
+        if self._mode == "matmul" and self._k1 is None:
+            raise ValueError("inv_mode='matmul' requires a separable kernel")
+        self._mat_cache: dict = {}
+
+    # -- separable matmul realization -------------------------------------
+
+    def _axis_matrices(self, n_lr: int):
+        """Per-axis circular operators as dense matrices (cached per size).
+
+        A (n_lr, n_hr): one axis of H.  P = A^T (A A^T)^{-1} (n_hr, n_lr):
+        one axis of the consistent upscale. Separability makes this exact:
+        H = A_h (x) A_w  =>  H^T (H H^T)^{-1} = P_h (x) P_w. The bicubic
+        autocorrelation is superbly conditioned (cond ~ 2), so the small
+        dense inverse is exact to f64 — no eps floor, no truncation — and
+        the whole projection runs as a handful of MXU matmuls.
+        """
+        if n_lr in self._mat_cache:
+            return self._mat_cache[n_lr]
+        s = self.scale
+        n_hr = n_lr * s
+        a = np.zeros((n_lr, n_hr))
+        for j in range(n_lr):
+            base = s * j + self._rel1
+            for i, kv in enumerate(self._k1):
+                a[j, (base + i) % n_hr] += kv
+        p = a.T @ np.linalg.inv(a @ a.T)
+        # cache host numpy (a jnp constant created inside a jit trace would
+        # leak a tracer); einsum lifts these to on-device constants per trace
+        mats = (a.astype(np.float32), p.astype(np.float32))
+        self._mat_cache[n_lr] = mats
+        return mats
+
+    def _matmul_downsample(self, x: jax.Array) -> jax.Array:
+        a_h, _ = self._axis_matrices(x.shape[1] // self.scale)
+        a_w, _ = self._axis_matrices(x.shape[2] // self.scale)
+        hi = jax.lax.Precision.HIGHEST
+        y = jnp.einsum("jh,nhwc->njwc", a_h, x.astype(jnp.float32), precision=hi)
+        return jnp.einsum("kw,njwc->njkc", a_w, y, precision=hi)
+
+    def _matmul_upscale(self, y: jax.Array) -> jax.Array:
+        """P_h (x) P_w: the consistent (DT-satisfying) upscale."""
+        _, p_h = self._axis_matrices(y.shape[1])
+        _, p_w = self._axis_matrices(y.shape[2])
+        hi = jax.lax.Precision.HIGHEST
+        x = jnp.einsum("pj,njkc->npkc", p_h, y.astype(jnp.float32), precision=hi)
+        return jnp.einsum("qk,npkc->npqc", p_w, x, precision=hi)
 
     # -- H ----------------------------------------------------------------
 
@@ -78,7 +138,12 @@ class CEM:
 
         y[j] = sum_i x[(j*s + rel + i) mod n] k[i] per axis — the stationary
         form of MATLAB-bicubic downscaling (esr_tpu.ops.resize semantics).
+        In matmul mode this is two per-axis MXU contractions; the depthwise
+        conv realization below serves the non-separable modes (numerically
+        identical — tested).
         """
+        if self._mode == "matmul":
+            return self._matmul_downsample(x).astype(x.dtype)
         s = self.scale
         kh, kw = self.k2d.shape
         rel_h, rel_w = self.rel
@@ -178,13 +243,19 @@ class CEM:
 
     def dt_satisfying_upscale(self, lr: jax.Array) -> jax.Array:
         """H^+ y = H^T (H H^T)^{-1} y — the consistent low-frequency upscale."""
+        if self._mode == "matmul":
+            return self._matmul_upscale(lr).astype(lr.dtype)
         n, h, w, c = lr.shape
         hr_shape = (n, h * self.scale, w * self.scale, c)
         return self.upsample_transpose(self.apply_inv_hht(lr), hr_shape)
 
     def project(self, raw_hr: jax.Array, lr: jax.Array) -> jax.Array:
         """LF(lr) + null-space projection of raw_hr; H(result) == lr."""
-        residual = lr.astype(jnp.float32) - self.downsample(raw_hr.astype(jnp.float32))
+        raw32 = raw_hr.astype(jnp.float32)
+        if self._mode == "matmul":
+            residual = lr.astype(jnp.float32) - self._matmul_downsample(raw32)
+            return raw_hr + self._matmul_upscale(residual).astype(raw_hr.dtype)
+        residual = lr.astype(jnp.float32) - self.downsample(raw32)
         n, h, w, c = lr.shape
         hr_shape = (n, h * self.scale, w * self.scale, c)
         correction = self.upsample_transpose(self.apply_inv_hht(residual), hr_shape)

@@ -155,3 +155,29 @@ def test_filter_inv_mode_end_to_end():
         residuals[support] = float(np.abs(np.asarray(cem_f.downsample(out)) - np.asarray(lr)).max())
     assert residuals[33] < residuals[13]
     assert residuals[33] < 2e-3, residuals
+
+
+def test_matmul_mode_matches_fft_mode():
+    """Default separable 'matmul' realization == the exact FFT realization,
+    and the conv downsample == the matmul downsample."""
+    rng = np.random.default_rng(11)
+    lr = jnp.asarray(rng.random((2, 12, 12, 3)).astype(np.float32))
+    g = jnp.asarray(rng.random((2, 48, 48, 3)).astype(np.float32))
+    cem_m = make_cem(CEMConf(scale=4))  # auto -> matmul
+    cem_f = make_cem(CEMConf(scale=4, inv_mode="fft"))
+    assert cem_m._mode == "matmul"
+    np.testing.assert_allclose(
+        np.asarray(cem_m.downsample(g)), np.asarray(cem_f.downsample(g)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cem_m.project(g, lr)), np.asarray(cem_f.project(g, lr)), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cem_m.dt_satisfying_upscale(lr)),
+        np.asarray(cem_f.dt_satisfying_upscale(lr)),
+        atol=2e-4,
+    )
+    # matmul-mode consistency is at least as tight as fft's
+    out = cem_m.project(g, lr)
+    err = np.abs(np.asarray(cem_m.downsample(out)) - np.asarray(lr)).max()
+    assert err < 5e-6, err
