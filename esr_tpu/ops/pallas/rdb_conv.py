@@ -42,20 +42,22 @@ def _conv3x3_taps(feats, w, b):
     matmuls per feature chunk; f32 accumulation."""
     hp, wp = feats[0].shape[0], feats[0].shape[1]
     cout = w.shape[-1]
-    acc = jnp.broadcast_to(b.astype(jnp.float32), (hp * wp, cout))
+    acc = jnp.broadcast_to(b.astype(jnp.float32), (hp, wp, cout))
     off = 0
     for f in feats:
         cf = f.shape[-1]
+        f2d = f.reshape(hp * wp, cf)
         for dy in range(3):
-            rolled_y = pltpu.roll(f, (1 - dy) % hp, 0)  # pltpu.roll: shift >= 0
             for dx in range(3):
-                shifted = pltpu.roll(rolled_y, (1 - dx) % wp, 1)
                 tap_w = w[dy, dx, off : off + cf, :].astype(f.dtype)
-                acc = acc + jnp.dot(
-                    shifted.reshape(hp * wp, cf),
-                    tap_w,
-                    preferred_element_type=jnp.float32,
-                )
+                # matmul the UNSHIFTED feature, then rotate the f32 partial:
+                # Mosaic only rotates 32-bit data, and this keeps the MXU
+                # operand bf16
+                z = jnp.dot(f2d, tap_w, preferred_element_type=jnp.float32)
+                z = z.reshape(hp, wp, cout)
+                z = pltpu.roll(z, (1 - dy) % hp, 0)  # pltpu.roll: shift >= 0
+                z = pltpu.roll(z, (1 - dx) % wp, 1)
+                acc = acc + z
         off += cf
     return acc.reshape(hp, wp, cout)
 
@@ -68,17 +70,18 @@ def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
     # SAME-conv parity: intermediates must read as ZERO outside the original
     # image (flax zero-pads each conv at the image edge); the mask also wipes
     # the roll wraparound garbage every stage.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    # float mask built 3-D directly (Mosaic can't minor-dim-expand i1 vectors)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
     inside = (
         (rows >= m) & (rows < hp - m) & (cols >= m) & (cols < wp - m)
-    )[:, :, None]
+    ).astype(jnp.float32)
 
     def conv(feats, w, b, act):
         y = _conv3x3_taps(feats, w, b)
         if act:
             y = _lrelu(y)
-        return jnp.where(inside, y, 0.0).astype(dt)
+        return (y * inside).astype(dt)
 
     x1 = conv([x], w1[:], b1[:], True)
     x2 = conv([x, x1], w2[:], b2[:], True)
