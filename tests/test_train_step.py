@@ -254,3 +254,32 @@ def test_trainers_data_parallel_via_dist_flag(tmp_path):
     gan.feed_data(batch)
     gan.optimize_parameters(0)
     assert np.isfinite(list(gan.get_current_losses().values())).all()
+
+
+def test_check_resume_and_save(tmp_path):
+    from esr_tpu.options import check_resume, parse, save
+
+    opt = tiny_train_opt(tmp_path, model="srragan")
+    opt["path"]["resume_state"] = str(
+        tmp_path / "experiments" / "tiny_test" / "training_state" / "1000.state"
+    )
+    check_resume(opt)
+    assert opt["path"]["pretrain_model_G"].endswith("models/1000_G")
+    assert opt["path"]["pretrain_model_D"].endswith("models/1000_D")
+
+    path = save(opt)
+    import json
+
+    with open(path) as f:
+        dumped = json.load(f)
+    assert dumped["model"] == "srragan"
+
+
+def test_json_comment_stripping(tmp_path):
+    from esr_tpu.options import parse
+
+    p = tmp_path / "opt.json"
+    p.write_text('{\n  // a comment\n  "name": "x // not a comment",\n  "scale": 4\n}\n')
+    opt = parse(str(p), is_train=False)
+    assert opt["name"] == "x // not a comment"
+    assert opt["scale"] == 4
