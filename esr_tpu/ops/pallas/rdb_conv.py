@@ -37,29 +37,37 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, 0.2 * x)
 
 
-def _conv3x3_taps(feats, w, b):
-    """SAME 3x3 conv over the (virtual) concat of ``feats`` via 9 tap-shifted
-    matmuls per feature chunk; f32 accumulation."""
+def _conv3x3_taps(feats, w_ref, b):
+    """SAME 3x3 conv over the (virtual) concat of ``feats``.
+
+    Scheme: matmul the UNSHIFTED feature chunk per tap, then rotate the f32
+    partial (Mosaic only rotates 32-bit data; the MXU operand stays bf16).
+    The 9 taps run under a ``fori_loop`` with tap-stacked weights — a fully
+    unrolled version (135 matmuls for the whole block) OOM-kills this
+    environment's remote Mosaic compile helper.
+
+    ``w_ref``: (9, Cin_total, Cout) VMEM ref, tap-major; f32 accumulation.
+    """
     hp, wp = feats[0].shape[0], feats[0].shape[1]
-    cout = w.shape[-1]
+    cout = w_ref.shape[-1]
     acc = jnp.broadcast_to(b.astype(jnp.float32), (hp, wp, cout))
     off = 0
     for f in feats:
         cf = f.shape[-1]
         f2d = f.reshape(hp * wp, cf)
-        for dy in range(3):
-            for dx in range(3):
-                tap_w = w[dy, dx, off : off + cf, :].astype(f.dtype)
-                # matmul the UNSHIFTED feature, then rotate the f32 partial:
-                # Mosaic only rotates 32-bit data, and this keeps the MXU
-                # operand bf16
-                z = jnp.dot(f2d, tap_w, preferred_element_type=jnp.float32)
-                z = z.reshape(hp, wp, cout)
-                z = pltpu.roll(z, (1 - dy) % hp, 0)  # pltpu.roll: shift >= 0
-                z = pltpu.roll(z, (1 - dx) % wp, 1)
-                acc = acc + z
+
+        def body(tap, acc, f2d=f2d, off=off, cf=cf):
+            tap_w = w_ref[tap, off : off + cf, :].astype(f2d.dtype)
+            z = jnp.dot(f2d, tap_w, preferred_element_type=jnp.float32)
+            z = z.reshape(hp, wp, cout)
+            dy, dx = tap // 3, tap % 3
+            z = pltpu.roll(z, (1 - dy) % hp, 0)  # pltpu.roll: shift >= 0
+            z = pltpu.roll(z, (1 - dx) % wp, 1)
+            return acc + z
+
+        acc = jax.lax.fori_loop(0, 9, body, acc)
         off += cf
-    return acc.reshape(hp, wp, cout)
+    return acc
 
 
 def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
@@ -77,17 +85,17 @@ def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
         (rows >= m) & (rows < hp - m) & (cols >= m) & (cols < wp - m)
     ).astype(jnp.float32)
 
-    def conv(feats, w, b, act):
-        y = _conv3x3_taps(feats, w, b)
+    def conv(feats, w_ref, b, act):
+        y = _conv3x3_taps(feats, w_ref, b)
         if act:
             y = _lrelu(y)
         return (y * inside).astype(dt)
 
-    x1 = conv([x], w1[:], b1[:], True)
-    x2 = conv([x, x1], w2[:], b2[:], True)
-    x3 = conv([x, x1, x2], w3[:], b3[:], True)
-    x4 = conv([x, x1, x2, x3], w4[:], b4[:], True)
-    x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5[:], b5[:])
+    x1 = conv([x], w1, b1[:], True)
+    x2 = conv([x, x1], w2, b2[:], True)
+    x3 = conv([x, x1, x2], w3, b3[:], True)
+    x4 = conv([x, x1, x2, x3], w4, b4[:], True)
+    x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5, b5[:])
     out = x[m:-m, m:-m].astype(jnp.float32) + 0.2 * x5[m:-m, m:-m]
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -102,7 +110,12 @@ def fused_rdb5c(x: jax.Array, params: dict, interpret: bool = False) -> jax.Arra
     hp, wp = h + 2 * m, w + 2 * m
     weight_args = []
     for k in range(1, 6):
-        weight_args += [params[f"w{k}"], params[f"b{k}"].reshape(1, -1)]
+        wk = params[f"w{k}"]
+        # tap-major stacking (9, Cin, Cout) for the fori_loop tap scheme
+        weight_args += [
+            wk.reshape(9, wk.shape[2], wk.shape[3]),
+            params[f"b{k}"].reshape(1, -1),
+        ]
     return pl.pallas_call(
         _rdb_kernel,
         grid=(n,),
