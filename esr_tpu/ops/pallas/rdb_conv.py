@@ -71,9 +71,10 @@ def _conv3x3_taps(feats, w_ref, b):
 
 
 def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
-    x = x_ref[0]  # (Hp, Wp, nf)
+    x = x_ref[0]  # (Hp, Wp, nf) — Hp/Wp tile-aligned (multiple of 16)
     dt = x.dtype
     hp, wp = x.shape[0], x.shape[1]
+    h, w = out_ref.shape[1], out_ref.shape[2]
     m = _MARGIN
     # SAME-conv parity: intermediates must read as ZERO outside the original
     # image (flax zero-pads each conv at the image edge); the mask also wipes
@@ -82,7 +83,7 @@ def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
     inside = (
-        (rows >= m) & (rows < hp - m) & (cols >= m) & (cols < wp - m)
+        (rows >= m) & (rows < m + h) & (cols >= m) & (cols < m + w)
     ).astype(jnp.float32)
 
     def conv(feats, w_ref, b, act):
@@ -96,7 +97,7 @@ def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
     x3 = conv([x, x1, x2], w3, b3[:], True)
     x4 = conv([x, x1, x2, x3], w4, b4[:], True)
     x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5, b5[:])
-    out = x[m:-m, m:-m].astype(jnp.float32) + 0.2 * x5[m:-m, m:-m]
+    out = x[m : m + h, m : m + w].astype(jnp.float32) + 0.2 * x5[m : m + h, m : m + w]
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -106,8 +107,11 @@ def fused_rdb5c(x: jax.Array, params: dict, interpret: bool = False) -> jax.Arra
     with wk (3,3,Cin_k,Cout_k) HWIO and bk (1, Cout_k)."""
     n, h, w, c = x.shape
     m = _MARGIN
-    xp = jnp.pad(x, ((0, 0), (m, m), (m, m), (0, 0)))
-    hp, wp = h + 2 * m, w + 2 * m
+    # tile-align the padded working shape (Mosaic rejects unaligned rolls);
+    # high-side extra padding is zero and masked out like the margin
+    hp = -(-(h + 2 * m) // 16) * 16
+    wp = -(-(w + 2 * m) // 16) * 16
+    xp = jnp.pad(x, ((0, 0), (m, hp - h - m), (m, wp - w - m), (0, 0)))
     weight_args = []
     for k in range(1, 6):
         wk = params[f"w{k}"]
