@@ -3,20 +3,26 @@
 The RDB (SURVEY.md §2.8) is the generator's innermost hot block: five 3x3
 convs with dense concat connections and LeakyReLU(0.2), x0.2 residual. The
 XLA path materializes every intermediate (x1..x4) and concat in HBM between
-convs; this kernel keeps the whole dense chain in VMEM:
+convs; this kernel keeps the whole dense chain in VMEM.
 
-- grid over the batch; one program owns a full (padded) image tile;
-- each conv is expressed as 9 tap-shifted MXU matmuls accumulated in f32
-  (``pltpu.roll`` + ``jnp.dot``) — the concat inputs are never materialized,
-  each prior feature contributes its own matmul partial sums;
-- boundary handling: the host pads 5px (the 5-conv receptive margin); rolls
-  wrap garbage into at most a 5px ring which the margin absorbs, so the
-  cropped interior equals SAME-padded conv composition exactly (tested vs
-  the flax block in interpreter mode).
+Design (shaped by this environment's Mosaic constraints — each was hit and
+fixed in turn: fully-unrolled taps OOM-kill the remote compile helper, bf16
+rotates and i1 minor-dim expansion are unsupported, unaligned rolls are
+rejected, whole-image tiles blow the 16MB VMEM stack):
 
-V1 scope: inference forward, whole-image tiles (H, W <= ~160 at nf=64 within
-the 16MB VMEM budget — the training-crop and bench regime). Larger images
-and a custom VJP land with the H-strip halo variant (PROGRESS_NOTES.md).
+- grid over (batch, row-strips): the host extracts overlapping strips
+  (strip + 2*margin rows) from the zero-padded image so each program's tile
+  is small, tile-aligned, and self-contained;
+- each conv = 9 taps under a ``fori_loop``: matmul the UNSHIFTED bf16
+  feature chunk on the MXU, then ``pltpu.roll`` the f32 partial into place;
+  dense-concat inputs are never materialized (each prior feature contributes
+  its own partial sums);
+- SAME-conv parity: flax zero-pads every conv at the *image* edge, so
+  intermediates are re-zeroed outside the image via an image-global mask
+  (strip offset from ``pl.program_id``); roll wraparound garbage lands in
+  the margin/halo and is cropped.
+
+Exact vs the flax block (interpreter-mode tests); any H/W image size.
 """
 
 from __future__ import annotations
@@ -40,13 +46,7 @@ def _lrelu(x):
 def _conv3x3_taps(feats, w_ref, b):
     """SAME 3x3 conv over the (virtual) concat of ``feats``.
 
-    Scheme: matmul the UNSHIFTED feature chunk per tap, then rotate the f32
-    partial (Mosaic only rotates 32-bit data; the MXU operand stays bf16).
-    The 9 taps run under a ``fori_loop`` with tap-stacked weights — a fully
-    unrolled version (135 matmuls for the whole block) OOM-kills this
-    environment's remote Mosaic compile helper.
-
-    ``w_ref``: (9, Cin_total, Cout) VMEM ref, tap-major; f32 accumulation.
+    ``w_ref``: (9, Cin_total, Cout) tap-major VMEM ref; f32 accumulation.
     """
     hp, wp = feats[0].shape[0], feats[0].shape[1]
     cout = w_ref.shape[-1]
@@ -70,69 +70,88 @@ def _conv3x3_taps(feats, w_ref, b):
     return acc
 
 
-def _rdb_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
-    x = x_ref[0]  # (Hp, Wp, nf) — Hp/Wp tile-aligned (multiple of 16)
-    dt = x.dtype
-    hp, wp = x.shape[0], x.shape[1]
-    h, w = out_ref.shape[1], out_ref.shape[2]
+def _make_kernel(strip: int, img_h: int, img_w: int):
     m = _MARGIN
-    # SAME-conv parity: intermediates must read as ZERO outside the original
-    # image (flax zero-pads each conv at the image edge); the mask also wipes
-    # the roll wraparound garbage every stage.
-    # float mask built 3-D directly (Mosaic can't minor-dim-expand i1 vectors)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1)
-    inside = (
-        (rows >= m) & (rows < m + h) & (cols >= m) & (cols < m + w)
-    ).astype(jnp.float32)
 
-    def conv(feats, w_ref, b, act):
-        y = _conv3x3_taps(feats, w_ref, b)
-        if act:
-            y = _lrelu(y)
-        return (y * inside).astype(dt)
+    def kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
+        x = x_ref[0, 0]  # (hp, wp, nf), tile-aligned
+        dt = x.dtype
+        hp, wp = x.shape[0], x.shape[1]
+        j = pl.program_id(1)
+        # image-global coordinates of this strip's local rows/cols
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0) + j * strip - m
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1) - m
+        inside = (
+            (rows >= 0) & (rows < img_h) & (cols >= 0) & (cols < img_w)
+        ).astype(jnp.float32)
 
-    x1 = conv([x], w1, b1[:], True)
-    x2 = conv([x, x1], w2, b2[:], True)
-    x3 = conv([x, x1, x2], w3, b3[:], True)
-    x4 = conv([x, x1, x2, x3], w4, b4[:], True)
-    x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5, b5[:])
-    out = x[m : m + h, m : m + w].astype(jnp.float32) + 0.2 * x5[m : m + h, m : m + w]
-    out_ref[0] = out.astype(out_ref.dtype)
+        def conv(feats, w_ref, b, act):
+            y = _conv3x3_taps(feats, w_ref, b)
+            if act:
+                y = _lrelu(y)
+            return (y * inside).astype(dt)
+
+        x1 = conv([x], w1, b1[:], True)
+        x2 = conv([x, x1], w2, b2[:], True)
+        x3 = conv([x, x1, x2], w3, b3[:], True)
+        x4 = conv([x, x1, x2, x3], w4, b4[:], True)
+        x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5, b5[:])
+        out = x[m : m + strip].astype(jnp.float32) + 0.2 * x5[m : m + strip]
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def fused_rdb5c(x: jax.Array, params: dict, interpret: bool = False) -> jax.Array:
+@partial(jax.jit, static_argnames=("interpret", "strip"))
+def fused_rdb5c(
+    x: jax.Array, params: dict, interpret: bool = False, strip: int = 22
+) -> jax.Array:
     """Fused RDB forward. x: (N, H, W, nf); params: {'w1'..'w5', 'b1'..'b5'}
-    with wk (3,3,Cin_k,Cout_k) HWIO and bk (1, Cout_k)."""
+    with wk (3,3,Cin_k,Cout_k) HWIO and bk (Cout_k,).
+
+    ``strip``: output rows per program; strip + 2*margin must be 16-aligned
+    (22 + 10 = 32) and small enough for the VMEM stack (<= ~38 at nf=64,
+    W<=512)."""
     n, h, w, c = x.shape
     m = _MARGIN
-    # tile-align the padded working shape (Mosaic rejects unaligned rolls);
-    # high-side extra padding is zero and masked out like the margin
-    hp = -(-(h + 2 * m) // 16) * 16
+    if (strip + 2 * m) % 16:
+        raise ValueError("strip + 2*margin must be a multiple of 16")
+    n_strips = -(-h // strip)
+    hp_img = n_strips * strip  # bottom-extended so strips tile evenly
     wp = -(-(w + 2 * m) // 16) * 16
-    xp = jnp.pad(x, ((0, 0), (m, hp - h - m), (m, wp - w - m), (0, 0)))
+    xp = jnp.pad(
+        x, ((0, 0), (m, hp_img - h + m), (m, wp - w - m), (0, 0))
+    )  # zero pad: matches SAME-conv edge semantics via the in-kernel mask
+    hs = strip + 2 * m
+    strips = jnp.stack(
+        [xp[:, j * strip : j * strip + hs] for j in range(n_strips)], axis=1
+    )  # (N, n_strips, hs, wp, c)
+
     weight_args = []
     for k in range(1, 6):
         wk = params[f"w{k}"]
-        # tap-major stacking (9, Cin, Cout) for the fori_loop tap scheme
         weight_args += [
             wk.reshape(9, wk.shape[2], wk.shape[3]),
             params[f"b{k}"].reshape(1, -1),
         ]
-    return pl.pallas_call(
-        _rdb_kernel,
-        grid=(n,),
+
+    out = pl.pallas_call(
+        _make_kernel(strip, h, w),
+        grid=(n, n_strips),
         in_specs=[
-            pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (1, 1, hs, wp, c), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+            )
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=pl.BlockSpec(
-            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, strip, wp, c), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, n_strips, strip, wp, c), x.dtype),
         interpret=interpret,
-    )(xp, *weight_args)
+    )(strips, *weight_args)
+    out = out.reshape(n, n_strips * strip, wp, c)
+    return out[:, :h, m : m + w]
 
 
 def rdb5c_params_from_flax(rdb_params: dict) -> dict:
