@@ -22,7 +22,15 @@ rejected, whole-image tiles blow the 16MB VMEM stack):
   (strip offset from ``pl.program_id``); roll wraparound garbage lands in
   the margin/halo and is cropped.
 
-Exact vs the flax block (interpreter-mode tests); any H/W image size.
+Exact vs the flax block (interpreter-mode tests, f32); any H/W image size.
+
+Status (v5e, B4 96x96 nf=64): runs end-to-end on hardware (bf16 parity
+~1.6e-2, accumulation-order rounding), but at the VMEM-feasible strip=6 the
+halo recompute (16/6 rows) and small-M matmuls leave it ~6x slower than
+XLA's conv emitter (11.8ms vs 1.9ms) — strip=22 exceeds the 16MB VMEM stack
+by 16KB. The XLA path therefore remains the production default; this kernel
+is the correctness-proven scaffold for width-tiled / in-place-accumulating
+variants (PROGRESS_NOTES.md).
 """
 
 from __future__ import annotations
