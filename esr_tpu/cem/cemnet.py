@@ -30,7 +30,6 @@ numpy filter constants.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ called under the same jit).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

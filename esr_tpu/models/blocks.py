@@ -11,7 +11,6 @@ hoc in ``networks.py``).
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 import jax.numpy as jnp
 from flax import linen as nn

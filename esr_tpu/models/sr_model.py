@@ -8,7 +8,6 @@ the host only streams uint8 HR crops.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import argparse
 import logging
 import math
 import os
-import sys
 
 
 def main(argv=None) -> None:
