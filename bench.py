@@ -135,7 +135,10 @@ def main() -> None:
         iters=int(os.environ.get("BENCH_ITERS", 10)),
     )
     extra = {"cem_consistency_max_err": result["cem_residual"]}
-    if os.environ.get("BENCH_TRAIN") == "1":
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        # full ESRGAN/explorable GAN step (DIV2K regime: batch 16, 128px
+        # crops, pixel+VGG+RaGAN+range+map losses, CEM, D BN updates);
+        # donated states dependency-chain the timing loop
         extra.update(bench_gan_train())
     print(
         json.dumps(
