@@ -129,6 +129,14 @@ class BaseModel:
     def load_network(self, path: str, template=None):
         restored = self._ckptr().restore(os.path.abspath(path))
         if template is not None:
+            # network artifacts are variable dicts {'params': ...}; unwrap
+            # when the caller's template is a bare param tree
+            if (
+                isinstance(restored, dict)
+                and "params" in restored
+                and not (isinstance(template, dict) and "params" in template)
+            ):
+                restored = restored["params"]
             # re-impose dtypes/structure of the live template
             restored = jax.tree.map(
                 lambda t, r: jnp.asarray(r, dtype=t.dtype), template, restored

@@ -66,7 +66,7 @@ class SRModel(BaseModel):
         params = variables["params"]
 
         if opt["path"].get("pretrain_model_G"):
-            params = self.load_network(opt["path"]["pretrain_model_G"], params)["params"]
+            params = self.load_network(opt["path"]["pretrain_model_G"], params)
 
         if self.is_train:
             sched = multistep_schedule(

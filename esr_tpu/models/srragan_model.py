@@ -174,9 +174,7 @@ class SRRaGANModel(BaseModel):
         )
         g_params = g_vars["params"]
         if opt["path"].get("pretrain_model_G"):
-            g_params = self.load_network(opt["path"]["pretrain_model_G"], g_params)[
-                "params"
-            ]
+            g_params = self.load_network(opt["path"]["pretrain_model_G"], g_params)
 
         if self.is_train:
             self.d_module = define_D(opt)
