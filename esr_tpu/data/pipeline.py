@@ -55,11 +55,17 @@ def make_train_pipeline(
     blur_kernel=None,
     num_latent_channels: int = 0,
     z_kind: str = "uniform",
+    downsample_fn=None,
 ):
     """Build the fused device preprocessing fn.
 
     Returns ``pipe(hr_batch, rng) -> {'HR', 'LR'[, 'Z']}`` where ``hr_batch``
     is (N, H, W, C) uint8 or float[0,1]; jit-able and donate-able.
+
+    ``downsample_fn`` overrides the MATLAB-bicubic LR synthesis (e.g.
+    ``cem.downsample`` for a user/KernelGAN-estimated kernel so training LR
+    and CEM consistency share the same operator); ``blur_kernel`` applies an
+    extra blur before the bicubic instead.
     """
     blur = None if blur_kernel is None else jnp.asarray(blur_kernel, jnp.float32)
 
@@ -88,7 +94,7 @@ def make_train_pipeline(
                 precision=jax.lax.Precision.HIGHEST,
                 feature_group_count=c,
             )
-        lr = imresize(src, scale=1.0 / scale)
+        lr = downsample_fn(src) if downsample_fn is not None else imresize(src, scale=1.0 / scale)
 
         out = {"HR": hr, "LR": lr}
         if num_latent_channels:

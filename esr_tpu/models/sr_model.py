@@ -49,9 +49,21 @@ class SRModel(BaseModel):
         self.g_module = define_G(opt)
         self.nz = self.g_module.num_latent_channels
 
+        kernel = opt.get("kernel")
+        arr = np.asarray(kernel, dtype=np.float64) if kernel else None
+        self._kernel = (
+            None
+            if arr is None
+            else (tuple(arr.tolist()) if arr.ndim == 1 else tuple(map(tuple, arr.tolist())))
+        )
         self.cem = None
         if opt.get("use_cem"):
-            self.cem = make_cem(CEMConf(scale=self.scale))
+            self.cem = make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
+        self._lr_synth = (
+            make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
+            if self._kernel
+            else None
+        )
 
         rng = jax.random.PRNGKey(int(train_opt.get("manual_seed") or 0))
         hr_size = int(
@@ -87,6 +99,7 @@ class SRModel(BaseModel):
             use_flip=bool(train_opt.get("use_flip", True)),
             use_rot=bool(train_opt.get("use_rot", True)),
             num_latent_channels=self.nz,
+            downsample_fn=self._lr_synth.downsample if self._lr_synth else None,
         )
         from esr_tpu.models.base_model import maybe_dp_step
 

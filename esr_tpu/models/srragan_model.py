@@ -159,7 +159,21 @@ class SRRaGANModel(BaseModel):
         train_opt = opt.get("train") or {}
         self.g_module = define_G(opt)
         self.nz = self.g_module.num_latent_channels
-        self.cem = make_cem(CEMConf(scale=self.scale)) if opt.get("use_cem") else None
+        # optional user/estimated downsampling kernel (top-level 'kernel' opt):
+        # defines both the CEM operator and training LR synthesis
+        kernel = opt.get("kernel")
+        arr = np.asarray(kernel, dtype=np.float64) if kernel else None
+        self._kernel = (
+            None
+            if arr is None
+            else (tuple(arr.tolist()) if arr.ndim == 1 else tuple(map(tuple, arr.tolist())))
+        )
+        self.cem = (
+            make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
+            if opt.get("use_cem")
+            else None
+        )
+        self._lr_synth = make_cem(CEMConf(scale=self.scale, kernel=self._kernel)) if self._kernel else None
 
         seed = int(train_opt.get("manual_seed") or 0)
         rng = jax.random.PRNGKey(seed)
@@ -219,6 +233,7 @@ class SRRaGANModel(BaseModel):
                 use_flip=True,
                 use_rot=True,
                 num_latent_channels=self.nz,
+                downsample_fn=self._lr_synth.downsample if self._lr_synth else None,
             )
             step_fn = make_gan_train_step(
                 self.g_module,

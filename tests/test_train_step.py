@@ -283,3 +283,29 @@ def test_json_comment_stripping(tmp_path):
     opt = parse(str(p), is_train=False)
     assert opt["name"] == "x // not a comment"
     assert opt["scale"] == 4
+
+
+def test_custom_kernel_training(tmp_path):
+    """Top-level 'kernel' opt: LR synthesis and CEM share the estimated
+    downsampling operator (blind-SR workflow)."""
+    import numpy as np
+
+    from esr_tpu.models import create_model
+
+    g1 = np.exp(-0.5 * (np.arange(9) - 4.0) ** 2 / 1.5**2)
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt["kernel"] = (g1 / g1.sum()).tolist()
+    model = create_model(opt)
+    assert model.cem._k1 is not None and len(model.cem._k1) == 9
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    assert np.isfinite(list(model.get_current_losses().values())).all()
+    # test-time consistency is w.r.t. the custom kernel
+    lr = np.random.default_rng(3).random((8, 8, 3)).astype(np.float32)
+    model.feed_data({"LR": lr})
+    model.test()
+    sr = model.get_current_visuals()["SR"]
+    import jax.numpy as jnp
+
+    back = np.asarray(model.cem.downsample(jnp.asarray(sr)[None]))[0]
+    assert np.abs(back - lr).max() < 1e-4
