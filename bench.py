@@ -11,6 +11,12 @@ is an arithmetic V100-fp32 estimate for the same network: ~2.16 TFLOP per HR
 megapixel (16.7M-param RRDB trunk at LR resolution + upsample stages) against
 ~6 TFLOP/s sustained conv throughput => ~2.7 HR-MP/s. The ">=5x V100" target
 therefore means >= ~13.5 MP/s/chip here.
+
+Measurement caveat (round 1, documented in PROGRESS_NOTES.md): the shared
+axon relay hands out sessions whose steady-state throughput differs ~2x for
+the IDENTICAL program (observed 7.7 vs 15.0 MP/s across sessions; within a
+session iterations are stable to <0.2%). The recorded value is therefore a
+lower bound subject to the session lottery.
 """
 
 from __future__ import annotations
