@@ -85,6 +85,13 @@ def init_params(module, rng, *example_args, **kwargs):
     return module.init(rng, *example_args, **kwargs)
 
 
+def describe_network(name: str, module, variables) -> str:
+    """One-line network description (the reference logs architectures +
+    param counts at model creation)."""
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables))
+    return f"Network {name}: {type(module).__name__} with {n:,d} parameters"
+
+
 # --------------------------------------------------------------------------
 # torch .pth -> flax params converters (OIHW -> HWIO, name remapping)
 # --------------------------------------------------------------------------

@@ -114,6 +114,13 @@ class SRModel(BaseModel):
             n_state_args=1,
             n_extra_args=1,
         )
+        import logging
+
+        from esr_tpu.models.networks import describe_network
+
+        logging.getLogger("base").info(
+            describe_network("G", self.g_module, {"params": params})
+        )
         self._rng = jax.random.PRNGKey(int(train_opt.get("manual_seed") or 0) + 1)
         self._forward = jax.jit(self._make_forward())
         self._data: dict = {}

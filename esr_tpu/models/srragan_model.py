@@ -254,6 +254,15 @@ class SRRaGANModel(BaseModel):
                 apply_fn=self.g_module.apply, params=g_params, tx=optax.identity()
             )
 
+        import logging
+
+        from esr_tpu.models.networks import describe_network
+
+        _lg = logging.getLogger("base")
+        _lg.info(describe_network("G", self.g_module, {"params": g_params}))
+        if self.is_train:
+            _lg.info(describe_network("D", self.d_module, self.d_state.params))
+            _lg.info(describe_network("F", self.f_module, self.f_variables))
         self._rng = jax.random.PRNGKey(seed + 3)
         self._forward = jax.jit(self._make_forward())
         self._data: dict = {}

@@ -81,9 +81,9 @@ def main(argv=None) -> None:
 
     for epoch in range(start_epoch, total_epochs + 1):
         for batch in train_loader:
-            current_step += 1
-            if current_step > niter:
+            if current_step >= niter:
                 break
+            current_step += 1
             model.update_learning_rate()
             model.feed_data(batch)
             model.optimize_parameters(current_step)
@@ -102,7 +102,7 @@ def main(argv=None) -> None:
                 model.save(current_step)
                 model.save_training(epoch, current_step)
                 logger.info(f"checkpoint saved @ iter {current_step}")
-        if current_step > niter:
+        if current_step >= niter:
             break
 
     model.save("latest")
