@@ -182,6 +182,50 @@ def stack_rrdb_params(params: dict, nb: int) -> dict:
     return out
 
 
+def load_discriminator_from_torch(state_dict: dict) -> dict:
+    """torch Discriminator_VGG_128 state_dict -> flax variables
+    ({'params', 'batch_stats'}) for our DiscriminatorVGG128.
+
+    Expected torch naming: conv0_0/conv0_1/..conv4_1 (+ bnX_Y BatchNorm2d for
+    all but conv0_0) and linear1/linear2.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+    names = [f"{b}_{i}" for b in range(5) for i in (0, 1)]
+    for idx, name in enumerate(names):
+        conv = {"kernel": jnp.asarray(_t2j_conv(sd[f"conv{name}.weight"]))}
+        if f"conv{name}.bias" in sd:
+            conv["bias"] = jnp.asarray(sd[f"conv{name}.bias"].astype(np.float32))
+        params[f"conv{name}"] = conv
+        if f"bn{name}.weight" in sd:
+            params[f"bn{name}"] = {
+                "scale": jnp.asarray(sd[f"bn{name}.weight"].astype(np.float32)),
+                "bias": jnp.asarray(sd[f"bn{name}.bias"].astype(np.float32)),
+            }
+            stats[f"bn{name}"] = {
+                "mean": jnp.asarray(sd[f"bn{name}.running_mean"].astype(np.float32)),
+                "var": jnp.asarray(sd[f"bn{name}.running_var"].astype(np.float32)),
+            }
+    # linear1 consumes the flattened 4x4 feature map: torch flattens NCHW
+    # (C-major), our NHWC flatten is H-major -> permute the input axis
+    w1 = sd["linear1.weight"].astype(np.float32)  # (100, C*4*4)
+    c_last = sd["conv4_1.weight"].shape[0]
+    w1 = w1.reshape(-1, c_last, 4, 4).transpose(0, 2, 3, 1).reshape(w1.shape[0], -1)
+    params["linear1"] = {
+        "kernel": jnp.asarray(w1.T),
+        "bias": jnp.asarray(sd["linear1.bias"].astype(np.float32)),
+    }
+    params["linear2"] = {
+        "kernel": jnp.asarray(sd["linear2.weight"].astype(np.float32).T),
+        "bias": jnp.asarray(sd["linear2.bias"].astype(np.float32)),
+    }
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
 def load_vgg19_from_torch(state_dict: dict, feature_layer: int = 34) -> dict:
     """torchvision vgg19 state_dict ('features.N.weight') -> flax params."""
     conv_indices = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]

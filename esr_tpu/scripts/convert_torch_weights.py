@@ -16,7 +16,7 @@ import os
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--kind", choices=["rrdb", "vgg19"], required=True)
+    parser.add_argument("--kind", choices=["rrdb", "vgg19", "discriminator"], required=True)
     parser.add_argument("--pth", required=True)
     parser.add_argument("--out", required=True)
     parser.add_argument("--nb", type=int, default=23)
@@ -32,10 +32,16 @@ def main(argv=None) -> None:
     import jax
     import orbax.checkpoint as ocp
 
-    from esr_tpu.models.networks import load_rrdb_from_torch, load_vgg19_from_torch
+    from esr_tpu.models.networks import (
+        load_discriminator_from_torch,
+        load_rrdb_from_torch,
+        load_vgg19_from_torch,
+    )
 
     if args.kind == "rrdb":
         params = load_rrdb_from_torch(state, nb=args.nb)
+    elif args.kind == "discriminator":
+        params = load_discriminator_from_torch(state)
     else:
         params = load_vgg19_from_torch(state)
     ocp.PyTreeCheckpointer().save(

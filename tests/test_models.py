@@ -270,3 +270,60 @@ def test_scan_blocks_equivalence():
     def n(t):
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(t))
     assert n(p_scan) == n(p_plain)
+
+
+def test_torch_oracle_discriminator_parity():
+    """Flax DiscriminatorVGG128 with weights converted from a torch oracle
+    (eval-mode BN) matches to float tolerance."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from esr_tpu.models.networks import load_discriminator_from_torch
+
+    nf = 8
+
+    class TD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [(3, nf), (nf, nf), (nf, 2 * nf), (2 * nf, 2 * nf),
+                     (2 * nf, 4 * nf), (4 * nf, 4 * nf), (4 * nf, 8 * nf),
+                     (8 * nf, 8 * nf), (8 * nf, 8 * nf), (8 * nf, 8 * nf)]
+            for i, (cin, cout) in enumerate(chans):
+                b, s = divmod(i, 2)
+                k, stride = (3, 1) if s == 0 else (4, 2)
+                bias = i == 0
+                setattr(self, f"conv{b}_{s}", nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, bias=bias))
+                if i > 0:
+                    setattr(self, f"bn{b}_{s}", nn.BatchNorm2d(cout, affine=True))
+            self.linear1 = nn.Linear(8 * nf * 4 * 4, 100)
+            self.linear2 = nn.Linear(100, 1)
+
+        def forward(self, x):
+            for i in range(10):
+                b, s = divmod(i, 2)
+                x = getattr(self, f"conv{b}_{s}")(x)
+                if i > 0:
+                    x = getattr(self, f"bn{b}_{s}")(x)
+                x = F.leaky_relu(x, 0.2)
+            x = x.flatten(1)
+            return self.linear2(F.leaky_relu(self.linear1(x), 0.2))
+
+    torch.manual_seed(0)
+    td = TD().eval()
+    # randomize BN stats so the test isn't trivially mean-0/var-1
+    with torch.no_grad():
+        for m in td.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    x = np.random.default_rng(0).random((2, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        y_t = td(torch.from_numpy(x)).numpy()
+
+    variables = load_discriminator_from_torch(
+        {k: v.numpy() for k, v in td.state_dict().items()}
+    )
+    model = DiscriminatorVGG128(nf=nf)
+    y_j = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=3e-4)
