@@ -114,6 +114,69 @@ class RRDBNet(nn.Module):
         return out.astype(jnp.float32)
 
 
+def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
+    """Depth-to-space (torch PixelShuffle semantics: channel-major subpixels),
+    NHWC."""
+    n, h, w, c = x.shape
+    r = factor
+    x = x.reshape(n, h, w, c // (r * r), r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r, w, r, c'
+    return x.reshape(n, h * r, w * r, c // (r * r))
+
+
+class ResidualBlockNoBN(nn.Module):
+    """SRResNet-style residual block (conv-relu-conv + identity, no BN —
+    the BasicSR 'MSRResNet' variant)."""
+
+    nf: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(y)
+        y = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="conv2")(y)
+        return x + y
+
+
+class SRResNet(nn.Module):
+    """SRResNet / MSRResNet generator (the reference factory's second
+    ``which_model_G`` family, ``sr_resnet``): conv_first -> nb residual
+    blocks -> trunk conv (+residual) -> pixel-shuffle upsampling -> HR convs.
+    Supports the same Z-map latent input as RRDBNet."""
+
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 16
+    scale: int = 4
+    num_latent_channels: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lr, z=None):
+        if self.num_latent_channels:
+            if z is None:
+                z = jnp.zeros(lr.shape[:-1] + (self.num_latent_channels,), dtype=lr.dtype)
+            x = jnp.concatenate([lr, z], axis=-1)
+        else:
+            x = lr
+        x = x.astype(self.dtype)
+        fea = lrelu(ConvLRelu(self.nf, act=False, dtype=self.dtype, name="conv_first")(x))
+        trunk = fea
+        for i in range(self.nb):
+            trunk = ResidualBlockNoBN(self.nf, self.dtype, name=f"block{i}")(trunk)
+        trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="trunk_conv")(trunk)
+        fea = fea + trunk
+        n_up = {1: 0, 2: 1, 4: 2, 8: 3}[self.scale]
+        for i in range(n_up):
+            fea = ConvLRelu(self.nf * 4, act=False, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
+            fea = lrelu(pixel_shuffle(fea, 2))
+        fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name="HRconv")(fea)
+        out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, name="conv_last")(fea)
+        return out.astype(jnp.float32)
+
+
 class DiscriminatorVGG128(nn.Module):
     in_nc: int = 3
     nf: int = 64

@@ -25,6 +25,7 @@ import numpy as np
 from esr_tpu.models.architecture import (
     DiscriminatorVGG128,
     RRDBNet,
+    SRResNet,
     VGG19FeatureExtractor,
 )
 
@@ -41,11 +42,21 @@ __all__ = [
 def define_G(opt: dict) -> RRDBNet:
     o = opt["network_G"]
     which = (o.get("which_model_G") or "RRDB_net").lower()
-    if which not in ("rrdb_net", "rrdbnet", "rrdb"):
-        raise NotImplementedError(f"generator {which} not supported")
     latent = opt.get("network_G", {}).get("latent_input") or opt.get("latent_input")
     nz = int(o.get("num_latent_channels") or 0)
     dtype = jnp.bfloat16 if opt.get("bf16", True) else jnp.float32
+    if which in ("sr_resnet", "srresnet", "msrresnet"):
+        return SRResNet(
+            in_nc=int(o.get("in_nc") or 3),
+            out_nc=int(o.get("out_nc") or 3),
+            nf=int(o.get("nf") or 64),
+            nb=int(o.get("nb") or 16),
+            scale=int(opt.get("scale") or 4),
+            num_latent_channels=nz,
+            dtype=dtype,
+        )
+    if which not in ("rrdb_net", "rrdbnet", "rrdb"):
+        raise NotImplementedError(f"generator {which} not supported")
     return RRDBNet(
         in_nc=int(o.get("in_nc") or 3),
         out_nc=int(o.get("out_nc") or 3),

@@ -327,3 +327,35 @@ def test_torch_oracle_discriminator_parity():
     model = DiscriminatorVGG128(nf=nf)
     y_j = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(y_j), y_t, atol=3e-4)
+
+
+def test_pixel_shuffle_matches_torch():
+    import torch
+
+    from esr_tpu.models.architecture import pixel_shuffle
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 16, 3, 5)).astype(np.float32)  # NCHW c=16
+    ref = torch.pixel_shuffle(torch.from_numpy(x), 2).numpy()  # (2,4,6,10)
+    got = np.asarray(pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 2))
+    np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 1), atol=1e-6)
+
+
+def test_srresnet_family():
+    from esr_tpu.models.architecture import SRResNet
+    from esr_tpu.models.networks import define_G
+
+    model = SRResNet(nf=8, nb=2, scale=4, num_latent_channels=1)
+    lr = jnp.zeros((1, 8, 8, 3))
+    z = jnp.zeros((1, 8, 8, 1))
+    variables = model.init(jax.random.PRNGKey(0), lr, z)
+    assert model.apply(variables, lr, z).shape == (1, 32, 32, 3)
+
+    g = define_G(
+        {
+            "scale": 4,
+            "bf16": False,
+            "network_G": {"which_model_G": "sr_resnet", "nf": 8, "nb": 2},
+        }
+    )
+    assert isinstance(g, SRResNet) and g.nb == 2

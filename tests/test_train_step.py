@@ -309,3 +309,15 @@ def test_custom_kernel_training(tmp_path):
 
     back = np.asarray(model.cem.downsample(jnp.asarray(sr)[None]))[0]
     assert np.abs(back - lr).max() < 1e-4
+
+
+def test_srresnet_trainer_integration(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["network_G"]["which_model_G"] = "sr_resnet"
+    opt["network_G"]["nb"] = 2
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    assert np.isfinite(list(model.get_current_losses().values())).all()
