@@ -96,7 +96,7 @@ def main(argv=None) -> None:
                     model.get_current_losses(),
                 )
             if val_loader is not None and current_step % val_freq == 0:
-                metrics = validate(model, val_loader, opt)
+                metrics = validate(model, val_loader, opt, step=current_step)
                 tlogger.log_validation(current_step, epoch, metrics)
             if current_step % save_freq == 0:
                 model.save(current_step)
@@ -110,22 +110,30 @@ def main(argv=None) -> None:
     logger.info("training complete")
 
 
-def validate(model, val_loader, opt) -> dict:
+def validate(model, val_loader, opt, step=None) -> dict:
+    import os
+
     import numpy as np
 
+    from esr_tpu.data.util import save_img
     from esr_tpu.ops.color import tensor2img
     from esr_tpu.ops.metrics import calculate_psnr, crop_border
 
     scale = int(opt.get("scale") or 4)
+    val_dir = opt["path"].get("val_images") if step is not None else None
     psnrs = []
     for i, batch in enumerate(val_loader):
         sample = {k: (v[0] if isinstance(v, (np.ndarray, list)) else v) for k, v in batch.items()}
         model.feed_data(sample)
         model.test()
         vis = model.get_current_visuals()
+        sr_img = tensor2img(vis["SR"])
+        if val_dir:
+            base = os.path.splitext(os.path.basename(str(sample.get("HR_path") or i)))[0]
+            save_img(sr_img, os.path.join(val_dir, base, f"{base}_{step}.png"))
         if "HR" not in vis:
             continue
-        sr = crop_border(tensor2img(vis["SR"]), scale).astype(np.float64)
+        sr = crop_border(sr_img, scale).astype(np.float64)
         hr = crop_border(tensor2img(vis["HR"]), scale).astype(np.float64)
         psnrs.append(calculate_psnr(sr, hr))
     return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan")}

@@ -64,6 +64,9 @@ def test_train_cli_end_to_end(tmp_path, image_dir):
     assert any("latest_G" in m for m in models), models
     states = os.listdir(exp / "training_state")
     assert states
+    # validation images saved per-iter (reference behavior)
+    val_imgs = list((exp / "val_images").rglob("*.png"))
+    assert val_imgs, "no validation images saved"
 
     # auto-resume from the saved state
     train_main(["-opt", str(opt_path), "--auto_resume"])
