@@ -1,5 +1,6 @@
 from esr_tpu.explore.objectives import (
     brightness_objective,
+    histogram_objective,
     imprint_objective,
     periodicity_objective,
     random_diverse_objective,

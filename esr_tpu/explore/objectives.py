@@ -130,6 +130,34 @@ def random_diverse_objective(anchors: jax.Array, weight_repel: float = 1.0):
     return objective
 
 
+def histogram_objective(target_patch: jax.Array, n_bins: int = 32, sigma: float = 0.05):
+    """Match the region's intensity distribution to a target patch's (the
+    texture/histogram-transfer tool): soft (gaussian-kernel) histograms per
+    channel, L1 between normalized histograms — differentiable and
+    shape-static.
+
+    ``target_patch``: (h, w, C) or (K, C) sample of desired intensities.
+    """
+    centers = jnp.linspace(0.0, 1.0, n_bins)
+    tgt = target_patch.reshape(-1, target_patch.shape[-1])
+
+    def soft_hist(values, weights):
+        # values: (M, C); weights: (M, 1) region weights
+        d = values[:, None, :] - centers[None, :, None]  # (M, bins, C)
+        k = jnp.exp(-0.5 * (d / sigma) ** 2) * weights[:, :, None]
+        h = jnp.sum(k, axis=0)
+        return h / (jnp.sum(h, axis=0, keepdims=True) + 1e-12)
+
+    def objective(sr, mask):
+        vals = sr.reshape(-1, sr.shape[-1])
+        w = jnp.broadcast_to(mask[None, :, :], sr.shape[:3]).reshape(-1, 1)
+        h_sr = soft_hist(vals, w)
+        h_tgt = soft_hist(tgt, jnp.ones((tgt.shape[0], 1), tgt.dtype))
+        return jnp.mean(jnp.abs(h_sr - h_tgt))
+
+    return objective
+
+
 def adversarial_objective(d_apply, direction: float = 1.0):
     """Drive D's realism score up (direction>0) on the full image; requires a
     trained discriminator apply ``d_apply(sr) -> logits``."""

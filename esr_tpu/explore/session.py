@@ -179,6 +179,12 @@ class ExplorationSession:
     def periodicity(self, period_y: float = 0.0, period_x: float = 0.0) -> np.ndarray:
         return self._run_tool(obj.periodicity_objective(period_y, period_x))
 
+    def match_histogram(self, target_patch: np.ndarray) -> np.ndarray:
+        """Transfer a target patch's intensity distribution to the region."""
+        return self._run_tool(
+            obj.histogram_objective(jnp.asarray(target_patch, jnp.float32))
+        )
+
     def random_alternatives(self, k: int = 3, seed: int = 0) -> list[np.ndarray]:
         """Generate k diverse consistent alternatives for the region: random
         Z restarts in-region, each repelled from the previously produced SRs."""

@@ -143,3 +143,15 @@ def test_cli_commands(setup, tmp_path):
     assert out.exists()
     assert run_command(sess, "quit") == ""
     assert "unknown" in run_command(sess, "bogus")
+
+
+def test_histogram_objective(setup):
+    """Histogram matching pulls the region's distribution toward the target."""
+    from esr_tpu.explore import histogram_objective
+
+    _, params, _, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=8)
+    sess.select_rect(0, 0, 48, 48)
+    bright = np.full((16, 16, 3), 0.95, np.float32)  # push toward bright
+    losses = sess.match_histogram(bright)
+    assert losses[-1] < losses[0]
