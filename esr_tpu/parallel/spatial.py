@@ -14,6 +14,11 @@ exact FFT form on the per-shard strip + halo, then the halo is cropped.
 ``tiled_forward`` is the single-device analogue for memory-bound images:
 static tile grid + overlap, lax-free host loop (each tile same shape -> one
 compile), CEM projected on the full stitched image for exact consistency.
+
+CEM note: pass the RAW generator as ``apply_fn`` and project the gathered
+output globally (``cem.project(fwd(params, lr), lr)``) — per-strip projection
+inside the shard would use strip-local circular boundaries and lose exactness
+at strip seams (tiled_forward already does the global projection for you).
 """
 
 from __future__ import annotations
