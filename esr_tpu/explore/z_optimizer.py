@@ -40,7 +40,10 @@ def bucket_crop(box: tuple[int, int, int, int], h: int, w: int, scale: int, buck
     return y, x, size
 
 
-@partial(jax.jit, static_argnames=("forward", "objective", "n_steps", "lr", "z_range"))
+@partial(
+    jax.jit,
+    static_argnames=("forward", "objective", "n_steps", "lr", "z_range", "lr_decay"),
+)
 def optimize_z(
     forward,
     params,
@@ -51,14 +54,23 @@ def optimize_z(
     n_steps: int = 100,
     lr: float = 0.1,
     z_range: float = 1.0,
+    lr_decay: float = 1.0,
 ):
     """Run the full Z search as one device program.
 
     forward(params, lr_img, z) -> sr;  objective(sr, mask) -> scalar.
     Z is clipped to [-z_range, z_range] each step (the reference bounds its
-    latent domain). Returns (z_opt, loss_trace).
+    latent domain); ``lr_decay`` < 1 applies the reference-style step-LR
+    decay across the search (exponential to ``lr * lr_decay`` by the end).
+    Returns (z_opt, loss_trace).
     """
-    tx = optax.adam(lr)
+    if lr_decay != 1.0:
+        schedule = optax.exponential_decay(
+            lr, transition_steps=max(n_steps, 1), decay_rate=lr_decay
+        )
+        tx = optax.adam(schedule)
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(z0)
 
     def step(carry, _):
@@ -92,6 +104,7 @@ class ZOptimizer:
         lr: float = 0.1,
         z_range: float = 1.0,
         crop_to_region: bool = True,
+        lr_decay: float = 1.0,
     ):
         self.forward = forward
         self.params = params
@@ -100,6 +113,7 @@ class ZOptimizer:
         self.lr = lr
         self.z_range = z_range
         self.crop_to_region = crop_to_region
+        self.lr_decay = lr_decay
 
     def __call__(
         self,
@@ -140,6 +154,7 @@ class ZOptimizer:
                 n_steps=self.n_steps,
                 lr=self.lr,
                 z_range=self.z_range,
+                lr_decay=self.lr_decay,
             )
             z_opt = jax.lax.dynamic_update_slice(z, z_opt_c, (0, y, x, 0))
             return z_opt, losses
@@ -154,4 +169,5 @@ class ZOptimizer:
             n_steps=self.n_steps,
             lr=self.lr,
             z_range=self.z_range,
+            lr_decay=self.lr_decay,
         )

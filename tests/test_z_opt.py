@@ -155,3 +155,17 @@ def test_histogram_objective(setup):
     bright = np.full((16, 16, 3), 0.95, np.float32)  # push toward bright
     losses = sess.match_histogram(bright)
     assert losses[-1] < losses[0]
+
+
+def test_z_lr_decay(setup):
+    """Z-search LR scheduling (reference parity): decayed run still reduces
+    the objective and stays consistent."""
+    _, params, cem, forward, lr_img, z0 = setup
+    mask = jnp.ones((64, 64), jnp.float32)
+    z_opt, losses = optimize_z(
+        forward, params, lr_img, z0, mask, variance_objective(1.0),
+        n_steps=10, lr=0.3, lr_decay=0.1,
+    )
+    assert float(losses[-1]) < float(losses[0])
+    sr = forward(params, lr_img, z_opt)
+    assert np.abs(np.asarray(cem.downsample(sr)) - np.asarray(lr_img)).max() < 1e-4
