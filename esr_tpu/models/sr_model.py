@@ -163,6 +163,8 @@ class SRModel(BaseModel):
                 if z is not None
                 else jnp.zeros(lr.shape[:-1] + (self.nz,))
             )
+            if zz.ndim == 3:
+                zz = zz[None]
         sr = self._forward(self.state.params, lr, zz)
         self._visuals = {
             "SR": np.asarray(sr[0]),
