@@ -12,7 +12,6 @@ hoc in ``networks.py``).
 from __future__ import annotations
 
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn.initializers import variance_scaling
@@ -56,46 +55,8 @@ class ConvLRelu(nn.Module):
         return lrelu(x) if self.act else x
 
 
-class _DenseConv(nn.Module):
-    """3x3 SAME conv over the *virtual* concat of a feature list.
-
-    conv(concat(feats)) == sum_i conv(feat_i, kernel[:, :, off_i:off_i+c_i])
-    — mathematically identical but never materializes the concat buffer
-    (profiling showed pure `concatenate` ops at 16% of the RRDB step time).
-    Param tree matches ConvLRelu ('<name>/Conv_0/{kernel,bias}'), so
-    checkpoints are interchangeable with the concat formulation.
-    """
-
-    features: int
-    init_scale: float = 0.1
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, feats: list):
-        cin_total = sum(f.shape[-1] for f in feats)
-        k, b = _ConvParams(
-            (3, 3, cin_total, self.features), init_scale=self.init_scale, name="Conv_0"
-        )()
-        out = None
-        off = 0
-        for f in feats:
-            cf = f.shape[-1]
-            y = jax.lax.conv_general_dilated(
-                f.astype(self.dtype),
-                k[:, :, off : off + cf, :].astype(self.dtype),
-                (1, 1),
-                "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            out = y if out is None else out + y
-            off += cf
-        return out + b.astype(self.dtype)
-
-
 class ResidualDenseBlock5C(nn.Module):
-    """5-conv dense block: conv_i sees concat(x, x1..x_{i-1}); out = x + 0.2*x5.
-
-    The concats are virtual (see _DenseConv)."""
+    """5-conv dense block: conv_i sees concat(x, x1..x_{i-1}); out = x + 0.2*x5."""
 
     nf: int = 64
     gc: int = 32
@@ -105,11 +66,13 @@ class ResidualDenseBlock5C(nn.Module):
     def __call__(self, x):
         feats = [x]
         for i in range(4):
-            xi = lrelu(
-                _DenseConv(self.gc, dtype=self.dtype, name=f"conv{i + 1}")(feats)
-            )
+            xi = ConvLRelu(
+                self.gc, act=True, init_scale=0.1, dtype=self.dtype, name=f"conv{i + 1}"
+            )(jnp.concatenate(feats, axis=-1) if len(feats) > 1 else x)
             feats.append(xi)
-        x5 = _DenseConv(self.nf, dtype=self.dtype, name="conv5")(feats)
+        x5 = ConvLRelu(
+            self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="conv5"
+        )(jnp.concatenate(feats, axis=-1))
         return x + 0.2 * x5
 
 
