@@ -3,6 +3,11 @@
 The reference only wall-clock-prints epoch/iter timings; the TPU-native
 equivalent is jax.profiler traces (viewable in TensorBoard's profile plugin /
 Perfetto) plus fence-accurate step timing for benches.
+
+Trace capture is validated against this environment's axon relay backend
+(round 1): ``with trace(dir): ...`` produces xplane.pb + trace.json.gz whose
+per-fusion device timings parse cleanly (see PROGRESS_NOTES.md for the
+RRDB step breakdown extracted this way).
 """
 
 from __future__ import annotations
