@@ -359,3 +359,19 @@ def test_srresnet_family():
         }
     )
     assert isinstance(g, SRResNet) and g.nb == 2
+
+
+def test_remat_gradients():
+    """remat=True (rematerialized backward) produces the same gradients."""
+    lr = jnp.asarray(np.random.default_rng(10).random((1, 8, 8, 3)), jnp.float32)
+    base = RRDBNet(nf=8, nb=2, gc=4, scale=4, remat=False)
+    rem = RRDBNet(nf=8, nb=2, gc=4, scale=4, remat=True)
+    params = base.init(jax.random.PRNGKey(0), lr)["params"]
+
+    def loss(model, p):
+        return jnp.mean(model.apply({"params": p}, lr) ** 2)
+
+    g1 = jax.grad(lambda p: loss(base, p))(params)
+    g2 = jax.grad(lambda p: loss(rem, p))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

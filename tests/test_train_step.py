@@ -321,3 +321,15 @@ def test_srresnet_trainer_integration(tmp_path):
     model.feed_data(make_batch())
     model.optimize_parameters(0)
     assert np.isfinite(list(model.get_current_losses().values())).all()
+
+
+def test_all_layers_latent_trainer(tmp_path):
+    """latent_input='all_layers' (per-block Z injection) trains end-to-end."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt["network_G"]["latent_input"] = "all_layers"
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    assert np.isfinite(list(model.get_current_losses().values())).all()
