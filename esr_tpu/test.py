@@ -69,6 +69,10 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
     scale = int(opt.get("scale") or 4)
     only_y = bool(opt.get("psnr_on_y", True))
     num_z = num_random_z if num_random_z is not None else int(opt.get("num_random_Z") or 0)
+    # pad LR to a multiple of `eval_pad_bucket` (edge mode) so arbitrary test
+    # sizes reuse a handful of compiled programs (each unique shape would
+    # otherwise compile its own XLA program); SR is cropped back afterwards
+    bucket = int(opt.get("eval_pad_bucket") or 0)
     nz = getattr(model, "nz", 0)
     psnrs, ssims, residuals = [], [], []
     rng = np.random.default_rng(0)
@@ -77,6 +81,18 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
         sample = {
             k: (v[0] if isinstance(v, (np.ndarray, list)) else v) for k, v in batch.items()
         }
+        orig_hw = None
+        if bucket:
+            lr0 = sample["LR"]
+            h0, w0 = lr0.shape[:2]
+            hp = -(-h0 // bucket) * bucket
+            wp = -(-w0 // bucket) * bucket
+            if (hp, wp) != (h0, w0):
+                orig_hw = (h0, w0)
+                sample = dict(sample)
+                sample["LR"] = np.pad(
+                    lr0, ((0, hp - h0), (0, wp - w0), (0, 0)), mode="edge"
+                )
         z_draws = [None]
         if nz and num_z:
             lr_shape = sample["LR"].shape
@@ -88,6 +104,16 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
             model.feed_data(sample)
             model.test(z=z) if nz else model.test()
             vis = model.get_current_visuals()
+            if getattr(model, "cem", None) is not None and zi == 0:
+                # consistency measured pre-crop (projection is w.r.t. the
+                # possibly padded LR actually fed to the model)
+                lr_back = np.asarray(
+                    model.cem.downsample(jnp.asarray(vis["SR"])[None])
+                )[0]
+                residuals.append(np.abs(lr_back - vis["LR"]).max())
+            if orig_hw is not None:
+                vis = dict(vis)
+                vis["SR"] = vis["SR"][: orig_hw[0] * scale, : orig_hw[1] * scale]
             sr_img = tensor2img(vis["SR"])
             if save_dir:
                 base = os.path.splitext(os.path.basename(str(sample.get("LR_path"))))[0]
@@ -102,11 +128,6 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
                 b = crop_border(b, scale).astype(np.float64)
                 psnrs.append(calculate_psnr(a, b))
                 ssims.append(calculate_ssim(a, b))
-            if getattr(model, "cem", None) is not None and zi == 0:
-                lr_back = np.asarray(
-                    model.cem.downsample(jnp.asarray(vis["SR"])[None])
-                )[0]
-                residuals.append(np.abs(lr_back - vis["LR"]).max())
 
     out = {
         "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),

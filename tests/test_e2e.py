@@ -147,3 +147,32 @@ def test_profiler_step_timer():
         with timer.step() as out:
             out["fence"] = jnp.ones((8, 8)) * 2
     assert len(timer.times) == 2 and timer.mean > 0
+
+
+def test_eval_pad_bucket(tmp_path, image_dir):
+    """eval_pad_bucket pads odd LR sizes to shared compile shapes; metrics
+    and per-image outputs keep original dimensions."""
+    import json
+
+    from esr_tpu.test import main as test_main
+
+    opt = {
+        "name": "e2e_bucket",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "use_cem": True,
+        "eval_pad_bucket": 16,
+        "datasets": {"test_1": {"name": "folder", "mode": "LRHR", "dataroot_HR": image_dir}},
+        "path": {"root": str(tmp_path)},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+    }
+    p = tmp_path / "opt_bucket.json"
+    p.write_text(json.dumps(opt))
+    test_main(["-opt", str(p), "--save_images"])
+    pngs = list((tmp_path / "results" / "e2e_bucket" / "folder").glob("*.png"))
+    assert len(pngs) == 3
+    # saved SR keeps the un-padded size (96 HR -> modcrop 96 -> LR 24 -> SR 96)
+    from PIL import Image
+
+    assert Image.open(pngs[0]).size == (96, 96)
