@@ -176,3 +176,29 @@ def test_eval_pad_bucket(tmp_path, image_dir):
     from PIL import Image
 
     assert Image.open(pngs[0]).size == (96, 96)
+
+
+def test_blind_lr_only_eval(tmp_path, image_dir):
+    """mode='LR' (no ground truth): forward + save, PSNR reported as nan."""
+    import json
+    import math
+
+    from esr_tpu.test import main as test_main
+
+    opt = {
+        "name": "e2e_blind",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "datasets": {"test_1": {"name": "blind", "mode": "LR", "dataroot_LR": image_dir}},
+        "path": {"root": str(tmp_path)},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+    }
+    p = tmp_path / "opt_blind.json"
+    p.write_text(json.dumps(opt))
+    test_main(["-opt", str(p), "--save_images"])
+    pngs = list((tmp_path / "results" / "e2e_blind" / "blind").glob("*.png"))
+    assert len(pngs) == 3
+    from PIL import Image
+
+    assert Image.open(pngs[0]).size == (384, 384)  # 96 LR -> 4x SR

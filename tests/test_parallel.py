@@ -135,3 +135,20 @@ def test_tiled_forward_matches_full():
         lr_back = np.asarray(cem.downsample(tiled))
         assert np.abs(lr_back - np.asarray(lr)).max() < 5e-5
     assert errs[12] < errs[4], errs
+
+
+def test_multihost_helpers_single_process():
+    """Degenerate single-process paths of the multi-host scaffolding."""
+    from esr_tpu.parallel.multihost import global_device_array, host_shard, init_distributed
+
+    pi, pc = init_distributed()
+    assert (pi, pc) == (0, 1)
+    items = list(range(10))
+    assert host_shard(items) == items
+    assert host_shard(items, process_index=1, process_count=4) == [1, 5, 9]
+
+    mesh = make_mesh(8)
+    batch = {"HR": np.ones((8, 4, 4, 3), np.float32)}
+    garr = global_device_array(batch, mesh)
+    assert garr["HR"].shape == (8, 4, 4, 3)
+    assert len(garr["HR"].sharding.device_set) == 8
