@@ -15,5 +15,11 @@ def create_model(opt: dict):
     if model in ("srragan", "srgan", "esrgan"):
         from esr_tpu.models.srragan_model import SRRaGANModel
 
+        if model == "srgan":
+            # reference SRGAN_model: standard (non-relativistic) adversarial loss
+            opt = dict(opt)
+            train = dict(opt.get("train") or {})
+            train.setdefault("relativistic", False)
+            opt["train"] = train
         return SRRaGANModel(opt)
     raise NotImplementedError(f"model {model} not recognized")

@@ -59,15 +59,25 @@ def gan_loss(logits: jax.Array, target_is_real: bool, gan_type: str = "vanilla")
     raise ValueError(f"unknown gan_type {gan_type}")
 
 
-def ragan_d_loss(d_real: jax.Array, d_fake: jax.Array, gan_type: str = "vanilla"):
-    """Relativistic average GAN discriminator loss (ESRGAN recipe)."""
+def ragan_d_loss(
+    d_real: jax.Array, d_fake: jax.Array, gan_type: str = "vanilla", relativistic: bool = True
+):
+    """Discriminator loss: relativistic-average (ESRGAN recipe) by default,
+    standard GAN (the reference's SRGAN_model variant) otherwise."""
+    if not relativistic:
+        return (gan_loss(d_real, True, gan_type) + gan_loss(d_fake, False, gan_type)) / 2.0
     lr = gan_loss(d_real - jnp.mean(d_fake), True, gan_type)
     lf = gan_loss(d_fake - jnp.mean(d_real), False, gan_type)
     return (lr + lf) / 2.0
 
 
-def ragan_g_loss(d_real: jax.Array, d_fake: jax.Array, gan_type: str = "vanilla"):
-    """Relativistic average GAN generator loss (ESRGAN recipe)."""
+def ragan_g_loss(
+    d_real: jax.Array, d_fake: jax.Array, gan_type: str = "vanilla", relativistic: bool = True
+):
+    """Generator adversarial loss: relativistic-average by default, standard
+    GAN otherwise (d_real unused in the standard form)."""
+    if not relativistic:
+        return gan_loss(d_fake, True, gan_type)
     lr = gan_loss(d_real - jnp.mean(d_fake), False, gan_type)
     lf = gan_loss(d_fake - jnp.mean(d_real), True, gan_type)
     return (lr + lf) / 2.0

@@ -53,6 +53,7 @@ def make_gan_train_step(
 ):
     """Build the pure GAN train step (see module docstring)."""
     gan_type = cfg.get("gan_type") or "vanilla"
+    relativistic = bool(cfg.get("relativistic", True))  # False = SRGAN_model
     w_gp = float(cfg.get("gp_weight") or (10.0 if gan_type == "wgan-gp" else 0.0))
     w_pix = float(cfg.get("pixel_weight") or 0.0)
     w_feat = float(cfg.get("feature_weight") or 0.0)
@@ -96,7 +97,7 @@ def make_gan_train_step(
             ds = d_state.replace(params=d_params)
             logits, new_stats = d_apply(ds, jnp.concatenate([hr_img, fake_sg], 0))
             d_real, d_fake = jnp.split(logits, 2, axis=0)
-            loss = L.ragan_d_loss(d_real, d_fake, gan_type)
+            loss = L.ragan_d_loss(d_real, d_fake, gan_type, relativistic)
             if w_gp:
                 loss += w_gp * L.gradient_penalty(
                     lambda p, x: d_apply(ds.replace(params=p), x, train=False)[0],
@@ -127,7 +128,7 @@ def make_gan_train_step(
                 loss += aux["l_g_fea"]
             logits, _ = d_apply(d_state, jnp.concatenate([hr_img, sr], 0))
             d_real, d_fake = jnp.split(logits, 2, axis=0)
-            aux["l_g_gan"] = w_gan * L.ragan_g_loss(d_real, d_fake, gan_type)
+            aux["l_g_gan"] = w_gan * L.ragan_g_loss(d_real, d_fake, gan_type, relativistic)
             loss += aux["l_g_gan"]
             if w_range:
                 aux["l_g_range"] = w_range * L.range_loss(sr)

@@ -333,3 +333,15 @@ def test_all_layers_latent_trainer(tmp_path):
     model.feed_data(make_batch())
     model.optimize_parameters(0)
     assert np.isfinite(list(model.get_current_losses().values())).all()
+
+
+def test_srgan_non_relativistic_variant(tmp_path):
+    """model='srgan' uses the standard (non-relativistic) adversarial loss."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srgan")
+    model = create_model(opt)
+    assert model.opt["train"]["relativistic"] is False
+    model.feed_data(make_batch())
+    model.optimize_parameters(0)
+    assert np.isfinite(list(model.get_current_losses().values())).all()
