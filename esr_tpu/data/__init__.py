@@ -134,3 +134,44 @@ def create_dataloader(dataset, dataset_opt: dict):
             seed=int(dataset_opt.get("seed") or 0),
         )
     return DataLoader(dataset, batch_size=1, shuffle=False, drop_last=False)
+
+
+def create_grain_loader(dataset, dataset_opt: dict):
+    """Optional grain-based loader (SURVEY.md §7.6: grain is the idiomatic
+    host-side loader). Same batch-dict contract as DataLoader; worker_count
+    maps from the reference's ``n_workers``. Falls back with ImportError when
+    grain is unavailable."""
+    import grain.python as grain
+
+    class _Source(grain.RandomAccessDataSource):
+        def __len__(self):
+            return len(dataset)
+
+        def __getitem__(self, idx):
+            return dataset[int(idx)]
+
+    batch_size = int(dataset_opt.get("batch_size") or 16)
+    sampler = grain.IndexSampler(
+        num_records=len(dataset),
+        shuffle=bool(dataset_opt.get("use_shuffle", True)),
+        seed=int(dataset_opt.get("seed") or 0),
+        num_epochs=None,
+        shard_options=grain.NoSharding(),
+    )
+
+    def _collate(samples):
+        batch = {}
+        for key in ("LR", "HR"):
+            vals = [s.get(key) for s in samples]
+            batch[key] = None if any(v is None for v in vals) else np.stack(vals)
+        for key in samples[0]:
+            if key not in ("LR", "HR"):
+                batch[key] = [s[key] for s in samples]
+        return batch
+
+    return grain.DataLoader(
+        data_source=_Source(),
+        sampler=sampler,
+        worker_count=int(dataset_opt.get("n_workers") or 0),
+        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
+    ), _collate

@@ -202,3 +202,22 @@ def test_blind_lr_only_eval(tmp_path, image_dir):
     from PIL import Image
 
     assert Image.open(pngs[0]).size == (384, 384)  # 96 LR -> 4x SR
+
+
+def test_grain_loader_adapter():
+    """grain-based loader yields the same batch contract (SURVEY §7.6)."""
+    pytest.importorskip("grain")
+    from esr_tpu.data import create_dataset, create_grain_loader
+
+    ds = create_dataset(
+        {"mode": "SYNTHETIC", "phase": "train", "HR_size": 16, "n_images": 6, "image_size": 32}
+    )
+    loader, collate = create_grain_loader(ds, {"batch_size": 2, "n_workers": 0, "use_shuffle": True})
+    it = iter(loader)
+    raw = next(it)
+    batch = collate(list(raw)) if isinstance(raw, (list, tuple)) else raw
+    hr = batch["HR"] if isinstance(batch, dict) else None
+    if hr is None:  # grain yields pre-batched list of samples
+        batch = collate(raw)
+        hr = batch["HR"]
+    assert np.asarray(hr).shape[0] == 2
