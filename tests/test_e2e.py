@@ -221,3 +221,20 @@ def test_grain_loader_adapter():
         batch = collate(raw)
         hr = batch["HR"]
     assert np.asarray(hr).shape[0] == 2
+
+
+def test_dihedral_transform_group_properties():
+    """The 8 augmentation codes form the dihedral group acting correctly:
+    all distinct, code 0 = identity, each is an isometry (same histogram)."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.data.pipeline import dihedral_transform
+
+    img = jnp.asarray(np.arange(16 * 16 * 1, dtype=np.float32).reshape(16, 16, 1))
+    outs = [np.asarray(dihedral_transform(img, jnp.int32(c))) for c in range(8)]
+    np.testing.assert_array_equal(outs[0], np.asarray(img))
+    for i in range(8):
+        np.testing.assert_allclose(np.sort(outs[i].ravel()), np.sort(np.asarray(img).ravel()))
+        for j in range(i + 1, 8):
+            assert np.abs(outs[i] - outs[j]).max() > 0, (i, j)

@@ -152,3 +152,22 @@ def test_multihost_helpers_single_process():
     garr = global_device_array(batch, mesh)
     assert garr["HR"].shape == (8, 4, 4, 3)
     assert len(garr["HR"].sharding.device_set) == 8
+
+
+def test_spatial_sharded_forward_with_z():
+    """Halo exchange also carries the Z map (explorable spatial inference)."""
+    model = RRDBNet(nf=8, nb=1, gc=4, scale=4, num_latent_channels=1)
+    lr = jnp.asarray(np.random.default_rng(7).random((1, 32, 16, 3)), jnp.float32)
+    z = jnp.asarray(np.random.default_rng(8).uniform(-1, 1, (1, 32, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), lr, z)["params"]
+
+    def apply_fn(p, l, zz=None):
+        return model.apply({"params": p}, l, zz)
+
+    mesh = make_mesh(8, spatial=4)
+    fwd = spatial_sharded_forward(apply_fn, mesh, scale=4, halo=8)
+    sharded = fwd(params, lr, z)
+    full = apply_fn(params, lr, z)
+    assert sharded.shape == full.shape
+    err = np.abs(np.asarray(sharded) - np.asarray(full))[:, 32:-32]
+    assert err.mean() < 5e-3

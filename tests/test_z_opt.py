@@ -169,3 +169,17 @@ def test_z_lr_decay(setup):
     assert float(losses[-1]) < float(losses[0])
     sr = forward(params, lr_img, z_opt)
     assert np.abs(np.asarray(cem.downsample(sr)) - np.asarray(lr_img)).max() < 1e-4
+
+
+def test_periodicity_objective_semantics():
+    """The periodicity objective scores truly periodic content lower."""
+    from esr_tpu.explore.objectives import periodicity_objective
+
+    obj = periodicity_objective(period_x=8)
+    xx = np.arange(32, dtype=np.float32)
+    periodic = np.tile(np.sin(2 * np.pi * xx / 8)[None, None, :, None], (1, 32, 1, 3))
+    aperiodic = np.random.default_rng(0).random((1, 32, 32, 3)).astype(np.float32)
+    mask = jnp.ones((32, 32), jnp.float32)
+    lp = float(obj(jnp.asarray(periodic), mask))
+    la = float(obj(jnp.asarray(aperiodic), mask))
+    assert lp < 1e-5 < la
