@@ -151,8 +151,12 @@ def main() -> None:
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         # full ESRGAN/explorable GAN step (DIV2K regime: batch 16, 128px
         # crops, pixel+VGG+RaGAN+range+map losses, CEM, D BN updates);
-        # donated states dependency-chain the timing loop
-        extra.update(bench_gan_train())
+        # donated states dependency-chain the timing loop. Never let a train
+        # bench failure swallow the primary metric line.
+        try:
+            extra.update(bench_gan_train())
+        except Exception as e:  # noqa: BLE001
+            extra["train_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     print(
         json.dumps(
             {

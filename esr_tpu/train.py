@@ -116,10 +116,11 @@ def validate(model, val_loader, opt, step=None) -> dict:
     import numpy as np
 
     from esr_tpu.data.util import save_img
-    from esr_tpu.ops.color import tensor2img
+    from esr_tpu.ops.color import rgb2ycbcr, tensor2img
     from esr_tpu.ops.metrics import calculate_psnr, crop_border
 
     scale = int(opt.get("scale") or 4)
+    on_y = bool(opt.get("val_on_y"))  # Y-channel PSNR (reference option)
     val_dir = opt["path"].get("val_images") if step is not None else None
     psnrs = []
     for i, batch in enumerate(val_loader):
@@ -133,8 +134,12 @@ def validate(model, val_loader, opt, step=None) -> dict:
             save_img(sr_img, os.path.join(val_dir, base, f"{base}_{step}.png"))
         if "HR" not in vis:
             continue
-        sr = crop_border(sr_img, scale).astype(np.float64)
-        hr = crop_border(tensor2img(vis["HR"]), scale).astype(np.float64)
+        hr_img = tensor2img(vis["HR"])
+        a, b = sr_img, hr_img
+        if on_y and a.ndim == 3 and a.shape[2] == 3:
+            a, b = rgb2ycbcr(a, only_y=True), rgb2ycbcr(b, only_y=True)
+        sr = crop_border(a, scale).astype(np.float64)
+        hr = crop_border(b, scale).astype(np.float64)
         psnrs.append(calculate_psnr(sr, hr))
     return {"psnr": float(np.mean(psnrs)) if psnrs else float("nan")}
 
