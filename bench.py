@@ -3,8 +3,9 @@
 Driver metric (BASELINE.json): "4x SR megapixels/sec/chip (RRDB+CEM); DIV2K
 GAN train steps/sec; Set5 PSNR delta". Primary value: output (HR) megapixels
 per second per chip for the full flagship RRDB(+CEM, +Z) 4x forward in
-bfloat16. Extras carry the GAN train-step rate (BENCH_TRAIN=1; off by default
-to keep the driver run short) and the CEM consistency residual.
+bfloat16. Extras carry the GAN train-step rate (on by default — the warm compile
+cache keeps it fast; BENCH_TRAIN=0 skips it) and the CEM consistency
+residual.
 
 vs_baseline: the reference publishes no throughput (BASELINE.md); the anchor
 is an arithmetic V100-fp32 estimate for the same network: ~2.16 TFLOP per HR
