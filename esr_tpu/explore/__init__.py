@@ -1,4 +1,6 @@
 from esr_tpu.explore.objectives import (
+    Objective,
+    adversarial_objective,
     brightness_objective,
     histogram_objective,
     imprint_objective,

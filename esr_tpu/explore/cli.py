@@ -59,13 +59,21 @@ def build_session_from_opt(opt_path: str, lr_path: str):
 
 
 def run_command(sess, line: str) -> str:
-    """Execute one editor command; returns a status string ('' = quit)."""
+    """Execute one editor command; returns a status string ('' = quit).
+    Malformed arguments report usage instead of raising."""
     parts = line.strip().split()
     if not parts:
         return "noop"
     cmd, args = parts[0].lower(), parts[1:]
     if cmd == "quit":
         return ""
+    try:
+        return _dispatch(sess, cmd, args)
+    except (IndexError, ValueError, FileNotFoundError) as e:
+        return f"bad arguments for '{cmd}' ({e}); see module docstring for usage"
+
+
+def _dispatch(sess, cmd: str, args: list[str]) -> str:
     if cmd == "select":
         y0, x0, y1, x1 = map(int, args)
         sess.select_rect(y0, x0, y1, x1)

@@ -4,13 +4,30 @@ Behavioral spec from the reference's ``codes/Z_optimization.py`` objective
 set, which backs the GUI exploration tools (SURVEY.md §2.16): L1-to-target
 ("imprint" desired content), local-variance up/down, brightness, TV
 smoothing, periodicity (similarity under shifts along a direction at a given
-period), and random diverse alternatives. Each builder returns a pure
-``objective(sr, mask) -> scalar`` where ``sr`` is the full SR image (N,H,W,C)
-and ``mask`` a float (H,W) region weight map — jit/grad-safe, no dynamic
-shapes (masking instead of cropping inside the jitted loss).
+period), histogram/texture match, random diverse alternatives, adversarial.
+
+Each builder returns an :class:`Objective` — a record of
+
+- ``fn(sr, mask, aux) -> scalar``: a STABLE function object (module-level, or
+  memoised per static config via ``lru_cache``). Because the same tool always
+  yields the same ``fn``, the jitted Z-search (``optimize_z``) caches on it
+  and a repeated tool click is a dispatch, not a retrace (VERDICT r1 weak #4).
+- ``aux``: traced array parameters (direction, targets, ...). Changing them
+  never retraces.
+- ``spatial``: the subset of aux that is an HR-space image (last three dims
+  ``(H_hr, W_hr, C)``). ``ZOptimizer`` crops these to the same bucketed
+  window as the LR/Z/mask crop, fixing the full-size-constant crash when
+  ``crop_to_region`` selects a strict subregion (ADVICE r1 high).
+
+``Objective`` is also directly callable as ``objective(sr, mask)`` for tests
+and ad-hoc use. Plain ``f(sr, mask)`` callables are still accepted everywhere
+an Objective is (legacy surface), but can't be region-cropped or cached.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -18,14 +35,45 @@ import jax.numpy as jnp
 from esr_tpu.models.losses import local_std
 
 __all__ = [
+    "Objective",
     "imprint_objective",
     "variance_objective",
     "brightness_objective",
     "tv_objective",
     "periodicity_objective",
     "random_diverse_objective",
+    "histogram_objective",
     "adversarial_objective",
 ]
+
+
+class Objective(NamedTuple):
+    """A Z-search objective: stable ``fn`` + traced ``aux`` arrays.
+
+    ``spatial`` lists keys of ``aux`` entries that are HR-space images whose
+    trailing dims are ``(H_hr, W_hr, C)`` and must be cropped with the region.
+    """
+
+    fn: Callable[[jax.Array, jax.Array, dict], jax.Array]
+    aux: dict[str, Any] = {}
+    spatial: tuple[str, ...] = ()
+
+    def __call__(self, sr, mask):
+        return self.fn(sr, mask, self.aux)
+
+    def crop_hr(self, y_hr: int, x_hr: int, size_hr: int) -> "Objective":
+        """Return a copy with every spatial aux cropped to the HR window."""
+        if not self.spatial:
+            return self
+        aux = dict(self.aux)
+        for k in self.spatial:
+            a = aux[k]
+            start = [0] * a.ndim
+            sizes = list(a.shape)
+            start[-3], start[-2] = y_hr, x_hr
+            sizes[-3], sizes[-2] = size_hr, size_hr
+            aux[k] = jax.lax.dynamic_slice(a, start, sizes)
+        return self._replace(aux=aux)
 
 
 def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -34,59 +82,70 @@ def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sum(x * m) / (jnp.sum(m) * x.shape[0] * x.shape[-1] + 1e-12)
 
 
-def imprint_objective(target: jax.Array):
+# -- imprint ----------------------------------------------------------------
+
+
+def _imprint_fn(sr, mask, aux):
+    return _masked_mean(jnp.abs(sr - aux["target"][None]), mask)
+
+
+def imprint_objective(target: jax.Array) -> Objective:
     """L1 to a desired image patch (graffiti/imprinting tool). ``target`` is
-    a full-size (H,W,C) image (content outside the mask is ignored)."""
-
-    def objective(sr, mask):
-        return _masked_mean(jnp.abs(sr - target[None]), mask)
-
-    return objective
+    a full-size (H,W,C) HR image (content outside the mask is ignored)."""
+    return Objective(_imprint_fn, {"target": jnp.asarray(target)}, ("target",))
 
 
-def variance_objective(direction: float = 1.0, window: int = 7):
+# -- local variance -----------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _variance_fn(window: int):
+    def fn(sr, mask, aux):
+        return -aux["direction"] * _masked_mean(local_std(sr, window), mask)
+
+    return fn
+
+
+def variance_objective(direction: float = 1.0, window: int = 7) -> Objective:
     """Push local std up (direction>0) or down (direction<0) in the region."""
-
-    def objective(sr, mask):
-        return -direction * _masked_mean(local_std(sr, window), mask)
-
-    return objective
+    return Objective(
+        _variance_fn(int(window)), {"direction": jnp.float32(direction)}
+    )
 
 
-def brightness_objective(target_level: float):
+# -- brightness ---------------------------------------------------------------
+
+
+def _brightness_fn(sr, mask, aux):
+    mean = _masked_mean(sr, mask)
+    return (mean - aux["target_level"]) ** 2
+
+
+def brightness_objective(target_level: float) -> Objective:
     """Drive the region's mean intensity toward ``target_level``."""
-
-    def objective(sr, mask):
-        mean = _masked_mean(sr, mask)
-        return (mean - target_level) ** 2
-
-    return objective
+    return Objective(_brightness_fn, {"target_level": jnp.float32(target_level)})
 
 
-def tv_objective():
+# -- total variation ----------------------------------------------------------
+
+
+def _tv_fn(sr, mask, aux):
+    dh = jnp.abs(sr[:, 1:] - sr[:, :-1]) * mask[None, 1:, :, None]
+    dw = jnp.abs(sr[:, :, 1:] - sr[:, :, :-1]) * mask[None, :, 1:, None]
+    denom = jnp.sum(mask) * sr.shape[0] * sr.shape[-1] + 1e-12
+    return (jnp.sum(dh) + jnp.sum(dw)) / denom
+
+
+def tv_objective() -> Objective:
     """Total-variation smoothing of the region."""
-
-    def objective(sr, mask):
-        dh = jnp.abs(sr[:, 1:] - sr[:, :-1]) * mask[None, 1:, :, None]
-        dw = jnp.abs(sr[:, :, 1:] - sr[:, :, :-1]) * mask[None, :, 1:, None]
-        denom = jnp.sum(mask) * sr.shape[0] * sr.shape[-1] + 1e-12
-        return (jnp.sum(dh) + jnp.sum(dw)) / denom
-
-    return objective
+    return Objective(_tv_fn)
 
 
-def periodicity_objective(period_y: float = 0.0, period_x: float = 0.0):
-    """Encourage the region to be self-similar under a shift of
-    (period_y, period_x) pixels (1D or 2D periodicity tool). Fractional
-    periods use bilinear resampling of the shifted image."""
-    shifts = []
-    if period_y:
-        shifts.append((float(period_y), 0.0))
-    if period_x:
-        shifts.append((0.0, float(period_x)))
-    if not shifts:
-        raise ValueError("need a nonzero period")
+# -- periodicity --------------------------------------------------------------
 
+
+@lru_cache(maxsize=None)
+def _periodicity_fn(shifts: tuple[tuple[float, float], ...]):
     import math
 
     def shift_img(img, dy, dx):
@@ -105,7 +164,7 @@ def periodicity_objective(period_y: float = 0.0, period_x: float = 0.0):
             out = shift_axis(out, dx, 2)
         return out
 
-    def objective(sr, mask):
+    def fn(sr, mask, aux):
         loss = 0.0
         for dy, dx in shifts:
             shifted = shift_img(sr, dy, dx)
@@ -114,55 +173,102 @@ def periodicity_objective(period_y: float = 0.0, period_x: float = 0.0):
             loss += _masked_mean(jnp.abs(sr - shifted), joint)
         return loss / len(shifts)
 
-    return objective
+    return fn
 
 
-def random_diverse_objective(anchors: jax.Array, weight_repel: float = 1.0):
+def periodicity_objective(period_y: float = 0.0, period_x: float = 0.0) -> Objective:
+    """Encourage the region to be self-similar under a shift of
+    (period_y, period_x) pixels (1D or 2D periodicity tool). Fractional
+    periods use bilinear resampling of the shifted image."""
+    shifts = []
+    if period_y:
+        shifts.append((float(period_y), 0.0))
+    if period_x:
+        shifts.append((0.0, float(period_x)))
+    if not shifts:
+        raise ValueError("need a nonzero period")
+    return Objective(_periodicity_fn(tuple(shifts)))
+
+
+# -- random diverse alternatives ------------------------------------------------
+
+
+def _diverse_fn(sr, mask, aux):
+    anchors = aux["anchors"]
+    d = jnp.abs(sr[None] - anchors[:, None])  # (K,N,H,W,C)
+    m = mask[None, None, :, :, None]
+    repel = jnp.sum(d * m) / (
+        jnp.sum(m) * d.shape[0] * d.shape[1] * d.shape[-1] + 1e-12
+    )
+    return -aux["weight_repel"] * repel
+
+
+def random_diverse_objective(anchors: jax.Array, weight_repel: float = 1.0) -> Objective:
     """Produce an alternative that moves away from previous outputs
     (``anchors``: (K,H,W,C)) — the 'random diverse alternatives' tool."""
-
-    def objective(sr, mask):
-        d = jnp.abs(sr[None] - anchors[:, None])  # (K,N,H,W,C)
-        m = mask[None, None, :, :, None]
-        repel = jnp.sum(d * m) / (jnp.sum(m) * d.shape[0] * d.shape[1] * d.shape[-1] + 1e-12)
-        return -weight_repel * repel
-
-    return objective
+    return Objective(
+        _diverse_fn,
+        {"anchors": jnp.asarray(anchors), "weight_repel": jnp.float32(weight_repel)},
+        ("anchors",),
+    )
 
 
-def histogram_objective(target_patch: jax.Array, n_bins: int = 32, sigma: float = 0.05):
-    """Match the region's intensity distribution to a target patch's (the
-    texture/histogram-transfer tool): soft (gaussian-kernel) histograms per
-    channel, L1 between normalized histograms — differentiable and
-    shape-static.
+# -- histogram / texture match ---------------------------------------------------
 
-    ``target_patch``: (h, w, C) or (K, C) sample of desired intensities.
-    """
+
+@lru_cache(maxsize=None)
+def _histogram_fn(n_bins: int):
     centers = jnp.linspace(0.0, 1.0, n_bins)
-    tgt = target_patch.reshape(-1, target_patch.shape[-1])
 
-    def soft_hist(values, weights):
+    def soft_hist(values, weights, sigma):
         # values: (M, C); weights: (M, 1) region weights
         d = values[:, None, :] - centers[None, :, None]  # (M, bins, C)
         k = jnp.exp(-0.5 * (d / sigma) ** 2) * weights[:, :, None]
         h = jnp.sum(k, axis=0)
         return h / (jnp.sum(h, axis=0, keepdims=True) + 1e-12)
 
-    def objective(sr, mask):
+    def fn(sr, mask, aux):
+        tgt, sigma = aux["tgt"], aux["sigma"]
         vals = sr.reshape(-1, sr.shape[-1])
         w = jnp.broadcast_to(mask[None, :, :], sr.shape[:3]).reshape(-1, 1)
-        h_sr = soft_hist(vals, w)
-        h_tgt = soft_hist(tgt, jnp.ones((tgt.shape[0], 1), tgt.dtype))
+        h_sr = soft_hist(vals, w, sigma)
+        h_tgt = soft_hist(tgt, jnp.ones((tgt.shape[0], 1), tgt.dtype), sigma)
         return jnp.mean(jnp.abs(h_sr - h_tgt))
 
-    return objective
+    return fn
 
 
-def adversarial_objective(d_apply, direction: float = 1.0):
+def histogram_objective(
+    target_patch: jax.Array, n_bins: int = 32, sigma: float = 0.05
+) -> Objective:
+    """Match the region's intensity distribution to a target patch's (the
+    texture/histogram-transfer tool): soft (gaussian-kernel) histograms per
+    channel, L1 between normalized histograms — differentiable and
+    shape-static.
+
+    ``target_patch``: (h, w, C) or (K, C) sample of desired intensities —
+    NOT an aligned HR image, so it is deliberately not region-cropped.
+    """
+    target_patch = jnp.asarray(target_patch, jnp.float32)
+    tgt = target_patch.reshape(-1, target_patch.shape[-1])
+    return Objective(
+        _histogram_fn(int(n_bins)), {"tgt": tgt, "sigma": jnp.float32(sigma)}
+    )
+
+
+# -- adversarial -----------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _adversarial_fn(d_apply: Callable):
+    def fn(sr, mask, aux):
+        return -aux["direction"] * jnp.mean(d_apply(sr))
+
+    return fn
+
+
+def adversarial_objective(d_apply, direction: float = 1.0) -> Objective:
     """Drive D's realism score up (direction>0) on the full image; requires a
-    trained discriminator apply ``d_apply(sr) -> logits``."""
-
-    def objective(sr, mask):
-        return -direction * jnp.mean(d_apply(sr))
-
-    return objective
+    trained discriminator apply ``d_apply(sr) -> logits`` (hashable — e.g. a
+    bound ``module.apply`` or module-level function)."""
+    return Objective(_adversarial_fn(d_apply), {"direction": jnp.float32(direction)})

@@ -11,7 +11,14 @@ be jit-compiled" note.
 Region handling: the crop-around-region speedup uses bucketed crop sizes
 (pad-to-bucket, SURVEY.md §7 hard-part 6) so a GUI session triggers at most
 ``len(buckets)`` compiles; inside the jitted loss the region is a static-
-shape float mask.
+shape float mask. Objectives carrying full-size HR constants (imprint
+targets, diversity anchors) declare them as ``Objective.spatial`` and are
+cropped to the same window (ADVICE r1 high fix).
+
+Retrace avoidance (VERDICT r1 weak #4): the jit static key is the objective's
+stable ``fn`` (module-level / lru-cached per static config); its array
+parameters travel as a traced ``aux`` pytree. A repeated tool click with the
+same bucket size is a cached dispatch, not a retrace.
 """
 
 from __future__ import annotations
@@ -23,9 +30,34 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from esr_tpu.explore.objectives import Objective
+
 __all__ = ["optimize_z", "ZOptimizer", "bucket_crop"]
 
 _BUCKETS = (16, 32, 64, 128, 256)
+
+
+class _LegacyObjective:
+    """Adapter for plain ``f(sr, mask)`` callables: hashes/compares by the
+    wrapped callable so repeated use of the same callable hits the jit cache."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def __hash__(self):
+        return hash(self.f)
+
+    def __eq__(self, other):
+        return isinstance(other, _LegacyObjective) and self.f == other.f
+
+    def __call__(self, sr, mask, aux):
+        return self.f(sr, mask)
+
+
+def _as_fn_aux(objective):
+    if isinstance(objective, Objective):
+        return objective.fn, objective.aux
+    return _LegacyObjective(objective), {}
 
 
 def bucket_crop(box: tuple[int, int, int, int], h: int, w: int, scale: int, buckets=_BUCKETS):
@@ -40,10 +72,6 @@ def bucket_crop(box: tuple[int, int, int, int], h: int, w: int, scale: int, buck
     return y, x, size
 
 
-@partial(
-    jax.jit,
-    static_argnames=("forward", "objective", "n_steps", "lr", "z_range", "lr_decay"),
-)
 def optimize_z(
     forward,
     params,
@@ -58,12 +86,44 @@ def optimize_z(
 ):
     """Run the full Z search as one device program.
 
-    forward(params, lr_img, z) -> sr;  objective(sr, mask) -> scalar.
+    forward(params, lr_img, z) -> sr;  objective: an
+    :class:`~esr_tpu.explore.objectives.Objective` (cached trace keyed on its
+    stable ``fn``) or a plain ``f(sr, mask)`` callable (keyed on the callable).
     Z is clipped to [-z_range, z_range] each step (the reference bounds its
     latent domain); ``lr_decay`` < 1 applies the reference-style step-LR
     decay across the search (exponential to ``lr * lr_decay`` by the end).
     Returns (z_opt, loss_trace).
     """
+    fn, aux = _as_fn_aux(objective)
+    return _optimize_z_jit(
+        forward, params, lr_img, z0, mask_hr, fn, aux, n_steps, lr, z_range, lr_decay
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "forward",
+        "objective_fn",
+        "n_steps",
+        "lr",
+        "z_range",
+        "lr_decay",
+    ),
+)
+def _optimize_z_jit(
+    forward,
+    params,
+    lr_img: jax.Array,
+    z0: jax.Array,
+    mask_hr: jax.Array,
+    objective_fn,
+    objective_aux,
+    n_steps: int = 100,
+    lr: float = 0.1,
+    z_range: float = 1.0,
+    lr_decay: float = 1.0,
+):
     if lr_decay != 1.0:
         schedule = optax.exponential_decay(
             lr, transition_steps=max(n_steps, 1), decay_rate=lr_decay
@@ -78,7 +138,7 @@ def optimize_z(
 
         def loss_fn(z_):
             sr = forward(params, lr_img, z_)
-            return objective(sr, mask_hr)
+            return objective_fn(sr, mask_hr, objective_aux)
 
         loss, grads = jax.value_and_grad(loss_fn)(z)
         updates, opt_state = tx.update(grads, opt_state)
@@ -144,6 +204,10 @@ class ZOptimizer:
             m_c = jax.lax.dynamic_slice(
                 mask_hr, (y * s, x * s), (size * s, size * s)
             )
+            if isinstance(objective, Objective):
+                # crop HR-space objective constants (imprint target, anchors)
+                # to the same window — they must track the sr crop
+                objective = objective.crop_hr(y * s, x * s, size * s)
             z_opt_c, losses = optimize_z(
                 self.forward,
                 self.params,
