@@ -62,6 +62,11 @@ def make_train_pipeline(
     Returns ``pipe(hr_batch, rng) -> {'HR', 'LR'[, 'Z']}`` where ``hr_batch``
     is (N, H, W, C) uint8 or float[0,1]; jit-able and donate-able.
 
+    ``hr_batch`` may instead be a dict ``{'HR': ..., 'LR': ...}`` of paired
+    crops (dataset has ``dataroot_LR``): the provided LR is used verbatim —
+    augmented jointly with HR by the same dihedral code — and LR synthesis is
+    skipped, so non-bicubic/real-degradation pairs train on their true LR.
+
     ``downsample_fn`` overrides the MATLAB-bicubic LR synthesis (e.g.
     ``cem.downsample`` for a user/KernelGAN-estimated kernel so training LR
     and CEM consistency share the same operator); ``blur_kernel`` applies an
@@ -69,10 +74,15 @@ def make_train_pipeline(
     """
     blur = None if blur_kernel is None else jnp.asarray(blur_kernel, jnp.float32)
 
-    def pipe(hr_batch: jax.Array, rng: jax.Array) -> dict:
-        hr = hr_batch.astype(jnp.float32)
-        if hr_batch.dtype == jnp.uint8:
-            hr = hr / 255.0
+    def _norm(x):
+        return (x / 255.0 if x.dtype == jnp.uint8 else x).astype(jnp.float32)
+
+    def pipe(hr_batch, rng: jax.Array) -> dict:
+        lr_in = None
+        if isinstance(hr_batch, dict):
+            lr_in = hr_batch.get("LR")
+            hr_batch = hr_batch["HR"]
+        hr = _norm(hr_batch)
         n = hr.shape[0]
         rng_aug, rng_z = jax.random.split(rng)
 
@@ -80,6 +90,18 @@ def make_train_pipeline(
             max_code = 8 if use_rot else 2
             codes = jax.random.randint(rng_aug, (n,), 0, max_code)
             hr = jax.vmap(dihedral_transform)(hr, codes)
+            if lr_in is not None:  # same symmetry keeps the pair aligned
+                lr_in = jax.vmap(dihedral_transform)(_norm(lr_in), codes)
+        elif lr_in is not None:
+            lr_in = _norm(lr_in)
+
+        if lr_in is not None:
+            out = {"HR": hr, "LR": lr_in}
+            if num_latent_channels:
+                out["Z"] = draw_z(
+                    rng_z, lr_in.shape[:-1] + (num_latent_channels,), z_kind
+                )
+            return out
 
         src = hr
         if blur is not None:

@@ -200,8 +200,11 @@ class DiscriminatorVGG128(nn.Module):
                 name=f"conv{name}",
             )(x)
             if use_norm:
+                # momentum 0.9 == torch BatchNorm2d momentum 0.1 (reference);
+                # flax's 0.99 default adapts running stats 10x slower
                 x = nn.BatchNorm(
                     use_running_average=not train,
+                    momentum=0.9,
                     dtype=self.dtype,
                     param_dtype=jnp.float32,
                     name=f"bn{name}",

@@ -33,21 +33,36 @@ __all__ = [
 
 
 def maybe_dp_step(step_fn, opt: dict, n_state_args: int, n_batch_args: int = 1, n_extra_args: int = 0):
-    """jit a pure train step; with >1 visible device (and unless
-    ``opt['dist'] == False``) shard the batch over a data mesh — the TPU
-    version of the reference's automatic nn.DataParallel wrap (SURVEY §2.13).
+    """jit a pure train step; with >1 visible device shard the batch over a
+    data mesh — the TPU version of the reference's AUTOMATIC nn.DataParallel
+    wrap (SURVEY §2.13). Auto-enables like the reference: ``dist: false``
+    opts out; ``dist: true`` forces it (error if the batch can't shard);
+    unset -> on when >1 device and the global batch divides the device count.
+    ``gpu_ids`` (reference CUDA_VISIBLE_DEVICES surface) caps how many
+    devices the mesh uses.
 
     Returns (jitted_step, mesh_or_None). States must be replicated onto the
     mesh by the caller before the first call (see ``replicate_states``).
     """
+    gpu_ids = opt.get("gpu_ids")
     n_dev = len(jax.devices())
-    use_dp = bool(opt.get("dist"))  # explicit opt-in: global batch must
-    # divide the data-axis size
+    if gpu_ids:
+        n_dev = min(n_dev, len(gpu_ids))
+    batch_size = int(
+        ((opt.get("datasets") or {}).get("train") or {}).get("batch_size") or 0
+    )
+    dist = opt.get("dist")
+    if dist is None:
+        # auto-enable only when the configured batch is known to shard; the
+        # actual per-step batch is validated inside the DP step either way
+        use_dp = n_dev > 1 and batch_size > 0 and batch_size % n_dev == 0
+    else:
+        use_dp = bool(dist)
     if use_dp and n_dev > 1:
         from esr_tpu.parallel.dp import make_dp_train_step
         from esr_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
+        mesh = make_mesh(n_dev)
         return (
             make_dp_train_step(
                 step_fn, mesh, n_state_args, n_batch_args, n_extra_args

@@ -87,13 +87,22 @@ class SRModel(BaseModel):
                 float(train_opt.get("lr_gamma") or 0.5),
             )
             self.schedulers["G"] = sched
-            tx = make_adam(sched, float(train_opt.get("beta1_G") or 0.9))
+            grad_clip = train_opt.get("grad_clip")
+            tx = make_adam(
+                sched,
+                float(train_opt.get("beta1_G") or 0.9),
+                grad_clip=float(grad_clip) if grad_clip else None,
+            )
         else:
             import optax
 
             tx = optax.identity()  # not used at test time
         self.state = TrainState.create(apply_fn=self.g_module.apply, params=params, tx=tx)
 
+        train_ds_opt = (opt.get("datasets") or {}).get("train") or {}
+        # paired-LR training: a configured dataroot_LR means the provided LR
+        # crops are ground truth — never re-synthesized (ADVICE r1 medium)
+        self._paired_lr = bool(train_ds_opt.get("dataroot_LR"))
         pipeline = make_train_pipeline(
             scale=self.scale,
             use_flip=bool(train_opt.get("use_flip", True)),
@@ -143,14 +152,25 @@ class SRModel(BaseModel):
         self.step = step
         # rng is a pure function of (seed, step): deterministic resume
         rng = jax.random.fold_in(self._rng, step)
-        hr = np.asarray(self._data["HR"])
+        batch = self._make_batch()
         if self._mesh is not None and not getattr(self, "_placed", False):
             from esr_tpu.parallel.dp import replicate_states
 
             self.state = replicate_states(self.state, self._mesh)
             self._placed = True
-        self.state, metrics = self._train_step(self.state, hr, rng)
+        self.state, metrics = self._train_step(self.state, batch, rng)
         self._losses = metrics
+
+    def _make_batch(self):
+        hr = np.asarray(self._data["HR"])
+        if not self._paired_lr:
+            return hr
+        if self._data.get("LR") is None:
+            raise ValueError(
+                "dataroot_LR is configured (paired-LR training) but the batch "
+                "carries no LR array — check the dataset/loader"
+            )
+        return {"HR": hr, "LR": np.asarray(self._data["LR"])}
 
     def test(self, z: np.ndarray | None = None) -> None:
         lr = jnp.asarray(self._data["LR"])

@@ -8,12 +8,16 @@ Training semantics mirrored from the reference:
   — SURVEY.md §2.10a consequence);
 - losses: pixel (opt) + VGG-feature L1 + relativistic-average GAN + range +
   map/Z losses;
-- D updates every step; G updates gated by ``D_update_ratio`` /
-  ``D_init_iters`` (lax.cond — no host round trip);
-- separate Adam + MultiStepLR for G and D.
+- ONE generator forward per step (reference parity, SURVEY §3.1): the G
+  loss's primal output feeds the D update via stop_gradient;
+- G updates first, against the PRE-update D (reference order), gated by
+  ``D_update_ratio`` / ``D_init_iters`` (masked update — no host round trip);
+  D updates every step;
+- separate Adam + MultiStepLR for G and D; optional global-norm grad
+  clipping via ``train.grad_clip``.
 
 TPU-first shape: ONE jitted step = fused device pipeline (augment + LR
-synthesis + Z draw) + D update + gated G update. Real and fake crops go
+synthesis + Z draw) + gated G update + D update. Real and fake crops go
 through D as a single doubled batch (one MXU pass, halves dispatches, and
 matches torch-BN semantics which normalizes real/fake activations jointly
 when batched). The step is pure: (g_state, d_state, hr_batch, rng, step) ->
@@ -89,31 +93,10 @@ def make_gan_train_step(
             # pre-consistent-ize GT so D can't use consistency as a cue
             hr_img = cem.enforce_dt_on_image_pair(lr_img, hr_img)
 
-        fake = g_forward(g_state.params, lr_img, z)
-        fake_sg = jax.lax.stop_gradient(fake)
-
-        # ---- D update (every step): doubled batch through one D pass -----
-        def d_loss_fn(d_params):
-            ds = d_state.replace(params=d_params)
-            logits, new_stats = d_apply(ds, jnp.concatenate([hr_img, fake_sg], 0))
-            d_real, d_fake = jnp.split(logits, 2, axis=0)
-            loss = L.ragan_d_loss(d_real, d_fake, gan_type, relativistic)
-            if w_gp:
-                loss += w_gp * L.gradient_penalty(
-                    lambda p, x: d_apply(ds.replace(params=p), x, train=False)[0],
-                    d_params,
-                    hr_img,
-                    fake_sg,
-                    rng_gp,
-                )
-            return loss, (new_stats, d_real, d_fake)
-
-        (l_d, (new_stats, d_real_v, d_fake_v)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(d_state.params)
-        d_state = d_state.apply_gradients(grads=d_grads).replace(batch_stats=new_stats)
-
-        # ---- G update (gated by D_update_ratio / D_init_iters) -----------
+        # ---- G update FIRST (reference order: one G forward per step; G's
+        # adversarial grads taken against the PRE-update D — SURVEY §3.1).
+        # The forward's primal output rides out through has_aux and feeds the
+        # D update below, so the generator runs exactly once per step.
         def g_loss_fn(g_params):
             sr = g_forward(g_params, lr_img, z)
             loss = 0.0
@@ -137,14 +120,36 @@ def make_gan_train_step(
                 aux["l_g_map"] = w_map * L.map_loss(sr, hr_img, z)
                 loss += aux["l_g_map"]
             aux["psnr"] = psnr_jax(sr, hr_img, quantize=False)
-            return loss, aux
+            return loss, (aux, sr)
 
-        (l_g, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        (l_g, (g_aux, fake)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_state.params
         )
         do_g = jnp.logical_and(step % d_ratio == 0, step >= d_init)
         updated = g_state.apply_gradients(grads=g_grads)
         g_state = jax.tree.map(lambda new, old: jnp.where(do_g, new, old), updated, g_state)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- D update (every step): doubled batch through one D pass -----
+        def d_loss_fn(d_params):
+            ds = d_state.replace(params=d_params)
+            logits, new_stats = d_apply(ds, jnp.concatenate([hr_img, fake_sg], 0))
+            d_real, d_fake = jnp.split(logits, 2, axis=0)
+            loss = L.ragan_d_loss(d_real, d_fake, gan_type, relativistic)
+            if w_gp:
+                loss += w_gp * L.gradient_penalty(
+                    lambda p, x: d_apply(ds.replace(params=p), x, train=False)[0],
+                    d_params,
+                    hr_img,
+                    fake_sg,
+                    rng_gp,
+                )
+            return loss, (new_stats, d_real, d_fake)
+
+        (l_d, (new_stats, d_real_v, d_fake_v)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params)
+        d_state = d_state.apply_gradients(grads=d_grads).replace(batch_stats=new_stats)
 
         metrics = {"l_d": l_d, "l_g": l_g, "D_real": jnp.mean(d_real_v), "D_fake": jnp.mean(d_fake_v)}
         metrics.update(g_aux)
@@ -217,18 +222,30 @@ class SRRaGANModel(BaseModel):
                 train_opt.get("lr_steps") or [],
                 float(train_opt.get("lr_gamma") or 0.5),
             )
+            if opt["path"].get("pretrain_model_D"):
+                d_vars = self.load_network(opt["path"]["pretrain_model_D"], d_vars)
+            grad_clip = train_opt.get("grad_clip")
+            grad_clip = float(grad_clip) if grad_clip else None
             self.schedulers = {"G": g_sched, "D": d_sched}
             self.g_state = TrainState.create(
                 apply_fn=self.g_module.apply,
                 params=g_params,
-                tx=make_adam(g_sched, float(train_opt.get("beta1_G") or 0.9)),
+                tx=make_adam(
+                    g_sched, float(train_opt.get("beta1_G") or 0.9), grad_clip=grad_clip
+                ),
             )
             self.d_state = TrainState.create(
                 apply_fn=self.d_module.apply,
                 params=d_vars["params"],
-                tx=make_adam(d_sched, float(train_opt.get("beta1_D") or 0.9)),
+                tx=make_adam(
+                    d_sched, float(train_opt.get("beta1_D") or 0.9), grad_clip=grad_clip
+                ),
                 batch_stats=d_vars.get("batch_stats"),
             )
+            train_ds_opt = (opt.get("datasets") or {}).get("train") or {}
+            # paired-LR training: provided LR crops are ground truth, never
+            # re-synthesized (ADVICE r1 medium)
+            self._paired_lr = bool(train_ds_opt.get("dataroot_LR"))
             pipeline = make_train_pipeline(
                 scale=self.scale,
                 use_flip=True,
@@ -289,6 +306,15 @@ class SRRaGANModel(BaseModel):
         # keep the batch host-side/uncommitted: jit places it per the step's
         # in_shardings (sharded over 'data' under DP, default device otherwise)
         hr = np.asarray(self._data["HR"])
+        if self._paired_lr:
+            if self._data.get("LR") is None:
+                raise ValueError(
+                    "dataroot_LR is configured (paired-LR training) but the "
+                    "batch carries no LR array — check the dataset/loader"
+                )
+            batch = {"HR": hr, "LR": np.asarray(self._data["LR"])}
+        else:
+            batch = hr
         if self._mesh is not None and not getattr(self, "_placed", False):
             from esr_tpu.parallel.dp import replicate_states
 
@@ -297,7 +323,7 @@ class SRRaGANModel(BaseModel):
             )
             self._placed = True
         self.g_state, self.d_state, metrics = self._train_step(
-            self.g_state, self.d_state, hr, rng, jnp.int32(step)
+            self.g_state, self.d_state, batch, rng, jnp.int32(step)
         )
         self._losses = metrics
 

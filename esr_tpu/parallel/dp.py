@@ -16,9 +16,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_dp_train_step", "shard_batch", "replicate_states"]
 
 
+def _check_divisible(batch, n_data: int):
+    for leaf in jax.tree.leaves(batch):
+        n = getattr(leaf, "shape", (None,))[0]
+        if n is not None and n % n_data:
+            raise ValueError(
+                f"batch dim {n} does not divide the {n_data}-device 'data' "
+                f"axis — use a divisible batch size"
+            )
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch (array or pytree) with its leading dim sharded over
     the ``data`` axis."""
+    _check_divisible(batch, mesh.shape["data"])
     sharding = NamedSharding(mesh, P("data"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
@@ -48,8 +59,17 @@ def make_dp_train_step(
     shardings = (
         (repl,) * n_state_args + (data,) * n_batch_args + (repl,) * n_extra_args
     )
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=shardings,
         donate_argnums=tuple(range(n_state_args)) if donate else (),
     )
+    n_data = mesh.shape["data"]
+
+    def step(*args):
+        # clear error instead of an opaque XLA sharding failure
+        for b in args[n_state_args : n_state_args + n_batch_args]:
+            _check_divisible(b, n_data)
+        return jitted(*args)
+
+    return step

@@ -41,9 +41,25 @@ def spatial_sharded_forward(
     """Build ``f(params, lr, z) -> sr`` sharding LR height over ``axis``.
 
     ``apply_fn(params, lr, z) -> sr`` is the (optionally CEM-wrapped)
-    generator forward. LR height must divide the axis size.
+    generator forward. LR height must divide the axis size, and the halo
+    must fit inside a local strip (both validated at call time — silent
+    wrong-halo results otherwise).
     """
     n_shards = mesh.shape[axis]
+
+    def _validate(lr):
+        h = lr.shape[1]
+        if h % n_shards:
+            raise ValueError(
+                f"LR height {h} does not divide the {n_shards}-shard "
+                f"'{axis}' axis — pad the image or change the mesh"
+            )
+        local = h // n_shards
+        if halo > local:
+            raise ValueError(
+                f"halo {halo} exceeds the local strip height {local} "
+                f"({h}px / {n_shards} shards) — shrink the halo or the mesh"
+            )
 
     def shard_fn(params, lr, z):
         # lr: local strip (N, h_local, W, C)
@@ -72,6 +88,7 @@ def spatial_sharded_forward(
     out_specs = P(None, axis, None, None)
 
     def fwd(params, lr, z=None):
+        _validate(lr)
         if z is None:
             f = shard_map(
                 lambda p, x: shard_fn(p, x, None),

