@@ -40,10 +40,11 @@ class _RRDBScanBody(nn.Module):
     nf: int
     gc: int
     dtype: Dtype = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, carry, _):
-        return RRDB(self.nf, self.gc, self.dtype, name="block")(carry), None
+        return RRDB(self.nf, self.gc, self.dtype, self.packed, name="block")(carry), None
 
 
 class RRDBNet(nn.Module):
@@ -60,6 +61,8 @@ class RRDBNet(nn.Module):
     # one block body instead of nb (~20x faster XLA compiles); params carry a
     # leading (nb,) axis under 'rrdb_scan'
     remat: bool = False  # rematerialize each RRDB in the backward pass
+    packed: bool = True  # per-source packed RDB convs (1.45x on v5e; exact
+    # same params, accumulation-order-only output difference — blocks.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -86,7 +89,7 @@ class RRDBNet(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.nb,
-            )(self.nf, self.gc, self.dtype, name="rrdb_scan")
+            )(self.nf, self.gc, self.dtype, self.packed, name="rrdb_scan")
             trunk, _ = scanned(trunk, None)
         else:
             for i in range(self.nb):
@@ -96,7 +99,7 @@ class RRDBNet(nn.Module):
                     trunk = ConvLRelu(
                         self.nf, kernel=1, act=False, dtype=self.dtype, name=f"latent_proj{i}"
                     )(trunk)
-                block = RRDB(self.nf, self.gc, self.dtype, name=f"rrdb{i}")
+                block = RRDB(self.nf, self.gc, self.dtype, self.packed, name=f"rrdb{i}")
                 trunk = block(trunk)
         trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="trunk_conv")(trunk)
         fea = fea + trunk

@@ -12,6 +12,7 @@ hoc in ``networks.py``).
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn.initializers import variance_scaling
@@ -55,24 +56,98 @@ class ConvLRelu(nn.Module):
         return lrelu(x) if self.act else x
 
 
+def _conv_same(x, w, precision=None):
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+
+
 class ResidualDenseBlock5C(nn.Module):
-    """5-conv dense block: conv_i sees concat(x, x1..x_{i-1}); out = x + 0.2*x5."""
+    """5-conv dense block: conv_i sees concat(x, x1..x_{i-1}); out = x + 0.2*x5.
+
+    ``packed=True`` (default) computes the algebraically-identical
+    "per-source packed" formulation: each feature's contributions to ALL its
+    later consumers go out as ONE wide conv (Cout = 4gc+nf, 3gc+nf, ... for
+    sources x, x1, ...) and targets are assembled from slices. This removes
+    every activation concat and lifts the MXU output-lane use from gc(=32)
+    wide to >=128 wide — measured 1.45x faster than the concat form on v5e
+    (B16 128px nf=64: 48.5 vs 33 TFLOP/s; PROGRESS_NOTES r2). Param tree is
+    IDENTICAL to the concat form (conv{1..5}/Conv_0/{kernel,bias}), so
+    checkpoints and torch-converted weights are interchangeable; outputs
+    differ only by float accumulation order.
+    """
 
     nf: int = 64
     gc: int = 32
     dtype: Dtype = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
-        feats = [x]
-        for i in range(4):
-            xi = ConvLRelu(
-                self.gc, act=True, init_scale=0.1, dtype=self.dtype, name=f"conv{i + 1}"
-            )(jnp.concatenate(feats, axis=-1) if len(feats) > 1 else x)
-            feats.append(xi)
-        x5 = ConvLRelu(
-            self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="conv5"
-        )(jnp.concatenate(feats, axis=-1))
+        if not self.packed:
+            feats = [x]
+            for i in range(4):
+                xi = ConvLRelu(
+                    self.gc, act=True, init_scale=0.1, dtype=self.dtype, name=f"conv{i + 1}"
+                )(jnp.concatenate(feats, axis=-1) if len(feats) > 1 else x)
+                feats.append(xi)
+            x5 = ConvLRelu(
+                self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="conv5"
+            )(jnp.concatenate(feats, axis=-1))
+            return x + 0.2 * x5
+
+        nf, gc = self.nf, self.gc
+        ws, bs = [], []
+        for j in range(1, 6):
+            cout = nf if j == 5 else gc
+            k, b = _ConvParamsNested(
+                (3, 3, nf + (j - 1) * gc, cout), init_scale=0.1, name=f"conv{j}"
+            )()
+            ws.append(k)
+            bs.append(b.astype(self.dtype))
+        # per-source weight packing: source s's slice of every later target,
+        # concatenated along Cout (pure weight reshuffling — params-sized)
+        w_src = [
+            jnp.concatenate(
+                [ws[0]] + [ws[t][:, :, :nf] for t in range(1, 5)], axis=-1
+            )
+        ]
+        for s in range(1, 5):  # source x_s feeds targets s+1..5
+            lo = nf + (s - 1) * gc
+            w_src.append(
+                jnp.concatenate(
+                    [ws[t][:, :, lo : lo + gc] for t in range(s, 5)], axis=-1
+                )
+            )
+        x = x.astype(self.dtype)
+        y0 = _conv_same(x, w_src[0])  # (..., 4gc+nf): parts [x1|x2|x3|x4|x5]
+        x1 = lrelu(y0[..., :gc] + bs[0])
+        y1 = _conv_same(x1, w_src[1])  # (..., 3gc+nf): [x2|x3|x4|x5]
+        x2 = lrelu(y0[..., gc : 2 * gc] + y1[..., :gc] + bs[1])
+        y2 = _conv_same(x2, w_src[2])  # (..., 2gc+nf): [x3|x4|x5]
+        x3 = lrelu(y0[..., 2 * gc : 3 * gc] + y1[..., gc : 2 * gc] + y2[..., :gc] + bs[2])
+        y3 = _conv_same(x3, w_src[3])  # (..., gc+nf): [x4|x5]
+        x4 = lrelu(
+            y0[..., 3 * gc : 4 * gc]
+            + y1[..., 2 * gc : 3 * gc]
+            + y2[..., gc : 2 * gc]
+            + y3[..., :gc]
+            + bs[3]
+        )
+        y4 = _conv_same(x4, w_src[4])  # (..., nf): [x5]
+        x5 = (
+            y0[..., 4 * gc :]
+            + y1[..., 3 * gc :]
+            + y2[..., 2 * gc :]
+            + y3[..., gc :]
+            + y4
+            + bs[4]
+        )
         return x + 0.2 * x5
 
 
@@ -82,12 +157,15 @@ class RRDB(nn.Module):
     nf: int = 64
     gc: int = 32
     dtype: Dtype = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
         out = x
         for i in range(3):
-            out = ResidualDenseBlock5C(self.nf, self.gc, self.dtype, name=f"rdb{i + 1}")(out)
+            out = ResidualDenseBlock5C(
+                self.nf, self.gc, self.dtype, self.packed, name=f"rdb{i + 1}"
+            )(out)
         return x + 0.2 * out
 
 
@@ -112,6 +190,18 @@ class _ConvParams(nn.Module):
         k = self.param("kernel", kaiming_scaled(self.init_scale), self.shape)
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
         return k, b
+
+
+class _ConvParamsNested(nn.Module):
+    """_ConvParams under a 'Conv_0' child, mirroring ConvLRelu's param path
+    ('<name>/Conv_0/kernel|bias') for fused rewrites of named conv blocks."""
+
+    shape: tuple
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, self.init_scale, name="Conv_0")()
 
 
 class FusedUpsampleConvLRelu(nn.Module):

@@ -66,6 +66,7 @@ def define_G(opt: dict) -> RRDBNet:
         scale=int(opt.get("scale") or 4),
         num_latent_channels=nz,
         latent_input=latent or "first_layer",
+        packed=bool(o.get("packed", True)),
         dtype=dtype,
     )
 

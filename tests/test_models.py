@@ -375,3 +375,44 @@ def test_remat_gradients():
     g2 = jax.grad(lambda p: loss(rem, p))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_rdb_equals_dense():
+    """The per-source packed RDB formulation (production path) is the same
+    function as the concat form: identical param tree, outputs equal to
+    accumulation-order rounding (f32), gradients close too."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.models.architecture import RRDBNet
+
+    kw = dict(nf=8, nb=2, gc=4, scale=4, num_latent_channels=1)
+    m_p = RRDBNet(**kw, packed=True)
+    m_d = RRDBNet(**kw, packed=False)
+    lr = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 16, 16, 1)), jnp.float32)
+    v_p = m_p.init(jax.random.PRNGKey(0), lr, z)
+    v_d = m_d.init(jax.random.PRNGKey(0), lr, z)
+    assert jax.tree_util.tree_structure(v_p) == jax.tree_util.tree_structure(v_d)
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(jax.tree.leaves(v_p), jax.tree.leaves(v_d))
+    )
+    out_p = m_p.apply(v_d, lr, z)
+    out_d = m_d.apply(v_d, lr, z)
+    assert float(jnp.abs(out_p - out_d).max()) < 1e-5
+
+    def loss_p(p):
+        return jnp.sum(m_p.apply(p, lr, z) ** 2)
+
+    def loss_d(p):
+        return jnp.sum(m_d.apply(p, lr, z) ** 2)
+
+    g_p = jax.grad(loss_p)(v_d)
+    g_d = jax.grad(loss_d)(v_d)
+    num = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_d))
+    )
+    den = max(float(jnp.abs(b).max()) for b in jax.tree.leaves(g_d))
+    assert num / den < 1e-5  # measured ~2e-7: accumulation-order rounding only
