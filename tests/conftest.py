@@ -26,3 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu"
     assert len(jax.devices()) == 8, jax.devices()
+    config.addinivalue_line(
+        "markers", "slow: opt-in heavyweight test (RUN_SLOW=1 or --run-slow)"
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption("--run-slow", action="store_true", default=False)
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow: enable with RUN_SLOW=1 or --run-slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
