@@ -11,3 +11,4 @@ from esr_tpu.explore.objectives import (
 )
 from esr_tpu.explore.z_optimizer import ZOptimizer, optimize_z
 from esr_tpu.explore.session import ExplorationSession
+from esr_tpu.explore.viewmodel import EditorViewModel

@@ -9,15 +9,22 @@ Usage::
 Commands (one per line)::
 
     select y0 x0 y1 x1        # HR-space rectangle
+    polygon y x y x ...       # HR-space polygon selection (>=3 vertices)
+    clear                     # clear the selection
     variance +|-              # increase / decrease local variance
     brightness LEVEL          # 0..1 target mean
     smooth                    # TV smoothing
     periodicity PY PX         # encourage periodicity (pixels; 0 = off)
     imprint PATH              # L1-imprint an image file over the region
-    alternatives K            # K diverse consistent alternatives
+    text WORDS...             # imprint rendered text (graffiti) in-region
+    histogram PATH            # transfer an image's intensity distribution
+    alternatives K            # propose K diverse candidates (none applied)
+    pick I                    # apply proposed candidate I
     undo / redo / reset       # Z history ops
+    zmap PATH                 # save a Z-map visualization png
     save PATH                 # write current SR png
     savez PATH                # write session state (npz)
+    loadz PATH                # load session state
     quit
 """
 
@@ -58,6 +65,18 @@ def build_session_from_opt(opt_path: str, lr_path: str):
     )
 
 
+def _get_vm(sess):
+    """One EditorViewModel per session — the CLI and Qt GUI drive the same
+    tested editor surface (esr_tpu.explore.viewmodel)."""
+    from esr_tpu.explore.viewmodel import EditorViewModel
+
+    if isinstance(sess, EditorViewModel):
+        return sess
+    if not hasattr(sess, "_cli_vm"):
+        sess._cli_vm = EditorViewModel(sess)
+    return sess._cli_vm
+
+
 def run_command(sess, line: str) -> str:
     """Execute one editor command; returns a status string ('' = quit).
     Malformed arguments report usage instead of raising."""
@@ -68,57 +87,70 @@ def run_command(sess, line: str) -> str:
     if cmd == "quit":
         return ""
     try:
-        return _dispatch(sess, cmd, args)
+        return _dispatch(_get_vm(sess), cmd, args)
     except (IndexError, ValueError, FileNotFoundError) as e:
         return f"bad arguments for '{cmd}' ({e}); see module docstring for usage"
 
 
-def _dispatch(sess, cmd: str, args: list[str]) -> str:
+def _dispatch(vm, cmd: str, args: list[str]) -> str:
+    sess = vm.session
     if cmd == "select":
         y0, x0, y1, x1 = map(int, args)
         sess.select_rect(y0, x0, y1, x1)
         return f"selected rect {(y0, x0, y1, x1)}"
+    if cmd == "polygon":
+        coords = list(map(int, args))
+        if len(coords) < 6 or len(coords) % 2:
+            raise ValueError("need >=3 (y, x) vertex pairs")
+        vm.set_selection_mode("polygon")
+        for y, x in zip(coords[::2], coords[1::2]):
+            vm.pointer_down(y, x)
+        return vm.finish_polygon()
+    if cmd == "clear":
+        return vm.clear_selection()
     if cmd == "variance":
-        losses = sess.increase_variance() if args[0] == "+" else sess.decrease_variance()
-        return f"variance {args[0]}: loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        return vm.variance(+1 if args[0] == "+" else -1)
     if cmd == "brightness":
-        losses = sess.brightness(float(args[0]))
-        return f"brightness: loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        return vm.brightness(float(args[0]))
     if cmd == "smooth":
-        losses = sess.smooth()
-        return f"smooth: loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        return vm.smooth()
     if cmd == "periodicity":
-        losses = sess.periodicity(float(args[0]), float(args[1]))
-        return f"periodicity: loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        return vm.periodicity(float(args[0]), float(args[1]))
     if cmd == "imprint":
         from esr_tpu.data.util import read_img
 
-        target = read_img(args[0])
-        h, w = sess.hr_shape
-        if target.shape[:2] != (h, w):
-            from esr_tpu.ops.resize import imresize_np
+        return vm.imprint_image(read_img(args[0]).astype(np.float32))
+    if cmd == "text":
+        if not args:
+            raise ValueError("need text to imprint")
+        return vm.imprint_text(" ".join(args))
+    if cmd == "histogram":
+        from esr_tpu.data.util import read_img
 
-            target = imresize_np(target, out_shape=(h, w))
-        losses = sess.imprint(target.astype(np.float32))
-        return f"imprint: loss {losses[0]:.4f} -> {losses[-1]:.4f}"
+        return vm.match_histogram(read_img(args[0]))
     if cmd == "alternatives":
-        outs = sess.random_alternatives(k=int(args[0]) if args else 3)
-        return f"generated {len(outs)} alternatives"
+        return vm.generate_alternatives(k=int(args[0]) if args else 3)
+    if cmd == "pick":
+        return vm.pick_alternative(int(args[0]))
     if cmd == "undo":
-        sess.undo()
-        return "undone"
+        return vm.undo()
     if cmd == "redo":
-        sess.redo()
-        return "redone"
+        return vm.redo()
     if cmd == "reset":
-        sess.reset_region_z()
-        return "region Z reset"
+        return vm.reset_region()
+    if cmd == "zmap":
+        from esr_tpu.data.util import save_img
+
+        save_img(vm.zmap_image(), args[0])
+        return f"z-map saved {args[0]}"
     if cmd == "save":
-        sess.save_sr(args[0])
+        vm.save_image(args[0])
         return f"saved {args[0]}"
     if cmd == "savez":
-        sess.save_state(args[0])
+        vm.save_session(args[0])
         return f"state saved {args[0]}"
+    if cmd == "loadz":
+        return vm.load_session(args[0])
     return f"unknown command: {cmd}"
 
 

@@ -1,9 +1,11 @@
 """Qt GUI editor (SURVEY.md §2.16: the reference's ``codes/GUI_SR.py``
-capability), as a thin front-end over :class:`ExplorationSession`.
+capability) — pure widget wiring over :class:`EditorViewModel`.
 
-PyQt5/PySide6 are not present in this TPU image, so the module import-guards
-the Qt dependency; all editing logic lives in the headless session (tested),
-keeping this layer to widgets + event wiring. Launch::
+Every editor behavior (selection modes, tools, alternatives picker, Z-map
+view, history, session io, progress) lives in the headless view-model, which
+is unit-tested without a display (tests/test_viewmodel.py); this module only
+translates Qt events to view-model calls and paints its rendered arrays.
+PyQt5/PySide6 are not in this TPU image, so the Qt import is guarded. Launch::
 
     python -m esr_tpu.explore.gui -opt OPTIONS.json --lr image.png
 """
@@ -32,72 +34,162 @@ def _require_qt():
             ) from e
 
 
-def launch(session) -> None:
-    """Run the editor event loop around an ExplorationSession."""
+def _to_qimage(QtGui, img: np.ndarray):
+    h, w, _ = img.shape
+    return QtGui.QImage(
+        np.ascontiguousarray(img).data, w, h, 3 * w, QtGui.QImage.Format_RGB888
+    )
+
+
+def launch(vm) -> None:
+    """Run the editor event loop around an EditorViewModel."""
     QtCore, QtGui, QtWidgets = _require_qt()
-    from esr_tpu.ops.color import tensor2img
 
     app = QtWidgets.QApplication([])
     win = QtWidgets.QMainWindow()
     win.setWindowTitle("Explorable SR (TPU)")
 
-    label = QtWidgets.QLabel()
-    label.setScaledContents(False)
-    rubber = QtWidgets.QRubberBand(QtWidgets.QRubberBand.Rectangle, label)
-    origin = {}
+    canvas = QtWidgets.QLabel()
+    canvas.setScaledContents(False)
+    status = win.statusBar()
+    progress = QtWidgets.QProgressBar()
+    progress.setMaximumWidth(160)
+    status.addPermanentWidget(progress)
 
     def refresh():
-        img = tensor2img(session.current_sr()[0])
-        h, w, _ = img.shape
-        qimg = QtGui.QImage(
-            np.ascontiguousarray(img).data, w, h, 3 * w, QtGui.QImage.Format_RGB888
-        )
-        label.setPixmap(QtGui.QPixmap.fromImage(qimg))
+        canvas.setPixmap(QtGui.QPixmap.fromImage(_to_qimage(QtGui, vm.render_display())))
 
-    def on_press(ev):
-        origin["pos"] = ev.pos()
-        rubber.setGeometry(QtCore.QRect(ev.pos(), QtCore.QSize()))
-        rubber.show()
+    vm.on_status = lambda msg: status.showMessage(msg)
+    vm.on_progress = lambda done, total, _losses: (
+        progress.setMaximum(total), progress.setValue(done), app.processEvents()
+    )
 
-    def on_move(ev):
-        if "pos" in origin:
-            rubber.setGeometry(QtCore.QRect(origin["pos"], ev.pos()).normalized())
+    # -- pointer events -> view-model selection protocol --------------------
+    def pos(ev):
+        p = ev.pos()
+        return p.y(), p.x()
 
-    def on_release(ev):
-        rect = rubber.geometry()
-        session.select_rect(rect.top(), rect.left(), rect.bottom(), rect.right())
+    canvas.mousePressEvent = lambda ev: (vm.pointer_down(*pos(ev)), refresh())
+    canvas.mouseMoveEvent = lambda ev: (vm.pointer_drag(*pos(ev)), refresh())
+    canvas.mouseReleaseEvent = lambda ev: (vm.pointer_up(*pos(ev)), refresh())
+    canvas.mouseDoubleClickEvent = lambda ev: (vm.finish_polygon(), refresh())
 
-    label.mousePressEvent = on_press
-    label.mouseMoveEvent = on_move
-    label.mouseReleaseEvent = on_release
+    # -- selection toolbar ----------------------------------------------------
+    sel_bar = win.addToolBar("selection")
+    mode_box = QtWidgets.QComboBox()
+    mode_box.addItems(["rect", "polygon", "brush"])
+    mode_box.currentTextChanged.connect(vm.set_selection_mode)
+    sel_bar.addWidget(mode_box)
+    radius = QtWidgets.QSpinBox()
+    radius.setRange(1, 128)
+    radius.setValue(vm.brush_radius)
+    radius.valueChanged.connect(lambda r: setattr(vm, "brush_radius", int(r)))
+    sel_bar.addWidget(radius)
+    sel_bar.addAction("Finish polygon").triggered.connect(
+        lambda: (vm.finish_polygon(), refresh())
+    )
+    sel_bar.addAction("Clear").triggered.connect(lambda: (vm.clear_selection(), refresh()))
+    zmap_act = sel_bar.addAction("Z map")
+    zmap_act.setCheckable(True)
+    zmap_act.toggled.connect(lambda on: (setattr(vm, "show_zmap", on), refresh()))
 
-    toolbar = win.addToolBar("tools")
-    tools = [
-        ("Var +", session.increase_variance),
-        ("Var -", session.decrease_variance),
-        ("Smooth", session.smooth),
-        ("Bright +", lambda: session.brightness(0.8)),
-        ("Bright -", lambda: session.brightness(0.2)),
-        ("Period X", lambda: session.periodicity(period_x=8)),
-        ("Period Y", lambda: session.periodicity(period_y=8)),
-        ("Alternatives", lambda: session.random_alternatives(3)),
-        ("Undo", session.undo),
-        ("Redo", session.redo),
-        ("Reset Z", session.reset_region_z),
-    ]
-    for name, fn in tools:
-        act = toolbar.addAction(name)
-        act.triggered.connect(lambda _=False, f=fn: (f(), refresh()))
-    save_act = toolbar.addAction("Save")
+    # -- tools toolbar ---------------------------------------------------------
+    def ask_float(title, lo, hi, default):
+        v, ok = QtWidgets.QInputDialog.getDouble(win, title, title, default, lo, hi, 2)
+        return v if ok else None
 
-    def do_save():
+    def do_imprint_text():
+        text, ok = QtWidgets.QInputDialog.getText(win, "Imprint text", "Text:")
+        if ok and text:
+            vm.imprint_text(text)
+            refresh()
+
+    def do_imprint_image():
+        path, _ = QtWidgets.QFileDialog.getOpenFileName(win, "Imprint image")
+        if path:
+            from esr_tpu.data.util import read_img
+
+            vm.imprint_image(read_img(path))
+            refresh()
+
+    def do_histogram():
+        path, _ = QtWidgets.QFileDialog.getOpenFileName(win, "Histogram target patch")
+        if path:
+            from esr_tpu.data.util import read_img
+
+            vm.match_histogram(read_img(path))
+            refresh()
+
+    def do_brightness():
+        v = ask_float("Target brightness", 0.0, 1.0, 0.5)
+        if v is not None:
+            vm.brightness(v)
+            refresh()
+
+    def do_periodicity():
+        py = ask_float("Period Y (px, 0=off)", 0.0, 256.0, 0.0)
+        px = ask_float("Period X (px, 0=off)", 0.0, 256.0, 8.0)
+        if py is not None and px is not None and (py or px):
+            vm.periodicity(py, px)
+            refresh()
+
+    def do_alternatives():
+        vm.generate_alternatives(k=3)
+        dlg = QtWidgets.QDialog(win)
+        dlg.setWindowTitle("Pick an alternative")
+        lay = QtWidgets.QHBoxLayout(dlg)
+        for i in range(len(vm.candidates)):
+            btn = QtWidgets.QPushButton()
+            thumb = vm.candidate_image(i)
+            btn.setIcon(QtGui.QIcon(QtGui.QPixmap.fromImage(_to_qimage(QtGui, thumb))))
+            btn.setIconSize(QtCore.QSize(192, 192))
+            btn.clicked.connect(lambda _=False, j=i: (vm.pick_alternative(j), dlg.accept()))
+            lay.addWidget(btn)
+        if dlg.exec_() != QtWidgets.QDialog.Accepted:
+            vm.cancel_alternatives()
+        refresh()
+
+    tools = win.addToolBar("tools")
+    for name, fn in [
+        ("Var +", lambda: (vm.variance(+1), refresh())),
+        ("Var -", lambda: (vm.variance(-1), refresh())),
+        ("Smooth", lambda: (vm.smooth(), refresh())),
+        ("Brightness", do_brightness),
+        ("Periodicity", do_periodicity),
+        ("Imprint text", do_imprint_text),
+        ("Imprint image", do_imprint_image),
+        ("Histogram", do_histogram),
+        ("Alternatives", do_alternatives),
+        ("Undo", lambda: (vm.undo(), refresh())),
+        ("Redo", lambda: (vm.redo(), refresh())),
+        ("Reset Z", lambda: (vm.reset_region(), refresh())),
+    ]:
+        tools.addAction(name).triggered.connect(lambda _=False, f=fn: f())
+
+    # -- io toolbar --------------------------------------------------------------
+    io_bar = win.addToolBar("io")
+
+    def do_save_img():
         path, _ = QtWidgets.QFileDialog.getSaveFileName(win, "Save SR", "sr.png")
         if path:
-            session.save_sr(path)
+            vm.save_image(path)
 
-    save_act.triggered.connect(do_save)
+    def do_save_session():
+        path, _ = QtWidgets.QFileDialog.getSaveFileName(win, "Save session", "session.npz")
+        if path:
+            vm.save_session(path)
 
-    win.setCentralWidget(label)
+    def do_load_session():
+        path, _ = QtWidgets.QFileDialog.getOpenFileName(win, "Load session")
+        if path:
+            vm.load_session(path)
+            refresh()
+
+    io_bar.addAction("Save image").triggered.connect(do_save_img)
+    io_bar.addAction("Save session").triggered.connect(do_save_session)
+    io_bar.addAction("Load session").triggered.connect(do_load_session)
+
+    win.setCentralWidget(canvas)
     refresh()
     win.show()
     app.exec_()
@@ -109,8 +201,9 @@ def main(argv=None) -> None:
     parser.add_argument("--lr", required=True)
     args = parser.parse_args(argv)
     from esr_tpu.explore.cli import build_session_from_opt
+    from esr_tpu.explore.viewmodel import EditorViewModel
 
-    launch(build_session_from_opt(args.opt, args.lr))
+    launch(EditorViewModel(build_session_from_opt(args.opt, args.lr)))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,8 @@ class ExplorationSession:
         n_steps: int = 64,
         opt_lr: float = 0.1,
         history_limit: int = 32,
+        progress_cb=None,
+        progress_chunks: int = 8,
     ):
         """forward(params, lr, z) -> sr (CEM-wrapped for guaranteed
         consistency of every edit)."""
@@ -51,6 +53,11 @@ class ExplorationSession:
         self._history: list[np.ndarray] = []
         self._redo: list[np.ndarray] = []
         self._history_limit = history_limit
+        # progress_cb(done_steps, total_steps, losses_so_far): when set, tool
+        # Z-searches run chunked (identical math; see optimize_z) so a GUI can
+        # show per-tool progress (SURVEY §2.16).
+        self.progress_cb = progress_cb
+        self.progress_chunks = progress_chunks
         self._mask: np.ndarray | None = None  # HR-space float mask
         self._box_lr: tuple | None = None
         self._sr_cache: np.ndarray | None = None
@@ -152,7 +159,13 @@ class ExplorationSession:
             self._mask = np.ones(self.hr_shape, np.float32)
         self._push_history()
         z_opt, losses = self._optimizer(
-            self.lr_img, self.z, objective, mask_hr=self._mask, box_lr=self._box_lr
+            self.lr_img,
+            self.z,
+            objective,
+            mask_hr=self._mask,
+            box_lr=self._box_lr,
+            progress_cb=self.progress_cb,
+            n_chunks=self.progress_chunks if self.progress_cb else 1,
         )
         self.z = np.asarray(z_opt)
         self._sr_cache = None
@@ -185,19 +198,26 @@ class ExplorationSession:
             obj.histogram_objective(jnp.asarray(target_patch, jnp.float32))
         )
 
-    def random_alternatives(self, k: int = 3, seed: int = 0) -> list[np.ndarray]:
-        """Generate k diverse consistent alternatives for the region: random
-        Z restarts in-region, each repelled from the previously produced SRs."""
-        outs = []
+    def propose_alternatives(
+        self, k: int = 3, seed: int = 0, candidate_cb=None
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Generate k diverse consistent candidates for the region WITHOUT
+        committing any of them: random Z restarts in-region, each repelled
+        from the previously produced SRs. Returns ``[(z_full, sr), ...]``; the
+        session Z map is left untouched — feed a chosen candidate's ``z`` to
+        :meth:`apply_alternative` (the GUI's choose-one-of-k picker).
+        ``candidate_cb(i, k)`` reports per-candidate progress."""
+        if self._mask is None:
+            self._mask = np.ones(self.hr_shape, np.float32)
+        cands: list[tuple[np.ndarray, np.ndarray]] = []
         rng = np.random.default_rng(seed)
         mask_lr = self._mask_lr()[None, :, :, None]
         base_z = self.z.copy()
-        anchors = [self.current_sr()]
+        anchors = [self.current_sr(base_z)]
         for i in range(k):
             z_init = base_z * (1 - mask_lr) + mask_lr * rng.uniform(
                 -1, 1, self.z.shape
             ).astype(np.float32)
-            self._push_history()
             z_opt, _ = self._optimizer(
                 self.lr_img,
                 z_init,
@@ -205,11 +225,35 @@ class ExplorationSession:
                 mask_hr=self._mask,
                 box_lr=self._box_lr,
             )
-            self.z = np.asarray(z_opt)
-            sr = self.current_sr()
+            z_opt = np.asarray(z_opt)
+            sr = np.asarray(
+                self._forward(self._params, jnp.asarray(self.lr_img), jnp.asarray(z_opt))
+            )
             anchors.append(sr)
-            outs.append(sr)
-        return outs
+            cands.append((z_opt, sr))
+            if candidate_cb is not None:
+                candidate_cb(i + 1, k)
+        self._sr_cache = None  # current_sr(base_z) overwrote the cache
+        return cands
+
+    def apply_alternative(self, z: np.ndarray) -> None:
+        """Commit a candidate Z map from :meth:`propose_alternatives` (one
+        undo step, like any other tool)."""
+        if z.shape != self.z.shape:
+            raise ValueError(f"candidate z shape {z.shape} != {self.z.shape}")
+        self._push_history()
+        self.z = np.asarray(z, np.float32).copy()
+        self._sr_cache = None
+
+    def random_alternatives(self, k: int = 3, seed: int = 0) -> list[np.ndarray]:
+        """Generate k diverse consistent alternatives for the region,
+        committing each in turn (the session ends on the last one; undo steps
+        back through them). For a pick-one workflow use
+        :meth:`propose_alternatives` + :meth:`apply_alternative`."""
+        cands = self.propose_alternatives(k, seed)
+        for z_opt, _ in cands:
+            self.apply_alternative(z_opt)
+        return [sr for _, sr in cands]
 
     # -- io ---------------------------------------------------------------
 
@@ -220,10 +264,21 @@ class ExplorationSession:
         save_img(tensor2img(self.current_sr()[0]), path)
 
     def save_state(self, path: str) -> None:
-        np.savez(path, z=self.z, lr=self.lr_img)
+        """Persist the editing state (LR, Z map, selection) as an npz."""
+        state = {"z": self.z, "lr": self.lr_img}
+        if self._mask is not None:
+            state["mask"] = self._mask
+        np.savez(path, **state)
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
         self.z = data["z"]
         self.lr_img = data["lr"]
+        if "mask" in data:
+            self._set_mask(data["mask"])
+        else:
+            self._mask = None
+            self._box_lr = None
+        self._history.clear()
+        self._redo.clear()
         self._sr_cache = None

@@ -72,6 +72,15 @@ def bucket_crop(box: tuple[int, int, int, int], h: int, w: int, scale: int, buck
     return y, x, size
 
 
+def _make_tx(lr: float, lr_decay: float, total_steps: int):
+    if lr_decay != 1.0:
+        schedule = optax.exponential_decay(
+            lr, transition_steps=max(total_steps, 1), decay_rate=lr_decay
+        )
+        return optax.adam(schedule)
+    return optax.adam(lr)
+
+
 def optimize_z(
     forward,
     params,
@@ -83,6 +92,8 @@ def optimize_z(
     lr: float = 0.1,
     z_range: float = 1.0,
     lr_decay: float = 1.0,
+    progress_cb=None,
+    n_chunks: int = 1,
 ):
     """Run the full Z search as one device program.
 
@@ -93,11 +104,35 @@ def optimize_z(
     latent domain); ``lr_decay`` < 1 applies the reference-style step-LR
     decay across the search (exponential to ``lr * lr_decay`` by the end).
     Returns (z_opt, loss_trace).
+
+    ``progress_cb(done_steps, total_steps, losses_so_far)`` — when given (or
+    ``n_chunks > 1``), the search runs as ``n_chunks`` jitted chunk programs
+    carrying ``(z, opt_state)`` between them: identical math (Adam state and
+    the LR schedule's step count travel in the carry), but the host observes
+    progress at chunk boundaries — the GUI progress-bar path (SURVEY §2.16).
     """
     fn, aux = _as_fn_aux(objective)
-    return _optimize_z_jit(
-        forward, params, lr_img, z0, mask_hr, fn, aux, n_steps, lr, z_range, lr_decay
-    )
+    if progress_cb is None and n_chunks <= 1:
+        return _optimize_z_jit(
+            forward, params, lr_img, z0, mask_hr, fn, aux, n_steps, lr, z_range, lr_decay
+        )
+
+    n_chunks = max(1, min(int(n_chunks), n_steps))
+    tx = _make_tx(lr, lr_decay, n_steps)
+    z, opt_state = jnp.asarray(z0), tx.init(jnp.asarray(z0))
+    bounds = np.linspace(0, n_steps, n_chunks + 1).astype(int)
+    losses = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi == lo:
+            continue
+        z, opt_state, chunk_losses = _optimize_z_chunk_jit(
+            forward, params, lr_img, z, opt_state, mask_hr, fn, aux,
+            int(hi - lo), lr, z_range, lr_decay, n_steps,
+        )
+        losses.append(chunk_losses)
+        if progress_cb is not None:
+            progress_cb(int(hi), int(n_steps), np.concatenate([np.asarray(l) for l in losses]))
+    return z, jnp.concatenate(losses)
 
 
 @partial(
@@ -124,15 +159,56 @@ def _optimize_z_jit(
     z_range: float = 1.0,
     lr_decay: float = 1.0,
 ):
-    if lr_decay != 1.0:
-        schedule = optax.exponential_decay(
-            lr, transition_steps=max(n_steps, 1), decay_rate=lr_decay
-        )
-        tx = optax.adam(schedule)
-    else:
-        tx = optax.adam(lr)
+    tx = _make_tx(lr, lr_decay, n_steps)
     opt_state = tx.init(z0)
+    (z_opt, _), losses = _scan_steps(
+        tx, forward, params, lr_img, z0, opt_state, mask_hr,
+        objective_fn, objective_aux, n_steps, z_range,
+    )
+    return z_opt, losses
 
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "forward",
+        "objective_fn",
+        "n_steps",
+        "lr",
+        "z_range",
+        "lr_decay",
+        "total_steps",
+    ),
+)
+def _optimize_z_chunk_jit(
+    forward,
+    params,
+    lr_img: jax.Array,
+    z: jax.Array,
+    opt_state,
+    mask_hr: jax.Array,
+    objective_fn,
+    objective_aux,
+    n_steps: int,
+    lr: float,
+    z_range: float,
+    lr_decay: float,
+    total_steps: int,
+):
+    """One chunk of the progressive search: same step math as the single-shot
+    program, with (z, opt_state) carried in from the previous chunk."""
+    tx = _make_tx(lr, lr_decay, total_steps)
+    (z_opt, opt_state), losses = _scan_steps(
+        tx, forward, params, lr_img, z, opt_state, mask_hr,
+        objective_fn, objective_aux, n_steps, z_range,
+    )
+    return z_opt, opt_state, losses
+
+
+def _scan_steps(
+    tx, forward, params, lr_img, z0, opt_state, mask_hr,
+    objective_fn, objective_aux, n_steps, z_range,
+):
     def step(carry, _):
         z, opt_state = carry
 
@@ -147,8 +223,7 @@ def _optimize_z_jit(
             z = jnp.clip(z, -z_range, z_range)
         return (z, opt_state), loss
 
-    (z_opt, _), losses = jax.lax.scan(step, (z0, opt_state), None, length=n_steps)
-    return z_opt, losses
+    return jax.lax.scan(step, (z0, opt_state), None, length=n_steps)
 
 
 class ZOptimizer:
@@ -182,12 +257,15 @@ class ZOptimizer:
         objective,
         mask_hr: np.ndarray | None = None,
         box_lr: tuple[int, int, int, int] | None = None,
+        progress_cb=None,
+        n_chunks: int = 1,
     ):
         """Optimize Z for ``objective`` over the region.
 
         ``mask_hr``: float (H_hr, W_hr) weight map (1 inside the region);
-        ``box_lr``: optional LR-space bbox enabling the bucketed-crop speedup.
-        Returns (z_opt full map, loss_trace).
+        ``box_lr``: optional LR-space bbox enabling the bucketed-crop speedup;
+        ``progress_cb``/``n_chunks``: chunked progressive search (see
+        :func:`optimize_z`). Returns (z_opt full map, loss_trace).
         """
         lr_img = jnp.asarray(lr_img)
         z = jnp.asarray(z)
@@ -219,6 +297,8 @@ class ZOptimizer:
                 lr=self.lr,
                 z_range=self.z_range,
                 lr_decay=self.lr_decay,
+                progress_cb=progress_cb,
+                n_chunks=n_chunks,
             )
             z_opt = jax.lax.dynamic_update_slice(z, z_opt_c, (0, y, x, 0))
             return z_opt, losses
@@ -234,4 +314,6 @@ class ZOptimizer:
             lr=self.lr,
             z_range=self.z_range,
             lr_decay=self.lr_decay,
+            progress_cb=progress_cb,
+            n_chunks=n_chunks,
         )

@@ -14,7 +14,10 @@ fork's explorable-training additions:
   Exact reference formulation unavailable (empty mount — SURVEY.md
   provenance warning); this implementation ties the local-std delta between
   SR and HR to the window-averaged Z, which yields the monotone
-  variance-control the exploration tools rely on. TODO(verify-vs-reference).
+  variance-control the exploration tools rely on — demonstrated empirically
+  on a trained model in tests/test_z_control.py (Z sweep monotonically
+  sweeps output local std; the GUI variance tool moves it both directions).
+  TODO(verify-vs-reference when the mount appears).
 - ``perceptual_l1``: ESRGAN's L1 feature-space loss helper.
 
 All pure functions of arrays -> scalar, jit/grad-safe.

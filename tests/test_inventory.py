@@ -55,6 +55,8 @@ INVENTORY = {
     "2.15 pack script (LMDB-equiv)": ("esr_tpu.scripts.create_packed_dataset", "main"),
     "2.15 weight converter": ("esr_tpu.scripts.convert_torch_weights", "main"),
     "2.16 editor session": ("esr_tpu.explore.session", "ExplorationSession"),
+    "2.16 editor view-model": ("esr_tpu.explore.viewmodel", "EditorViewModel"),
+    "2.16 imprint text rasterizer": ("esr_tpu.explore.viewmodel", "render_text_mask"),
     "2.16 editor CLI": ("esr_tpu.explore.cli", "main"),
     "2.16 Qt GUI (gated)": ("esr_tpu.explore.gui", "launch"),
     "5.1 profiler": ("esr_tpu.utils.profiler", "trace"),
@@ -63,6 +65,7 @@ INVENTORY = {
     "5.7 spatial parallelism": ("esr_tpu.parallel.spatial", "spatial_sharded_forward"),
     "5.7 tiled inference": ("esr_tpu.parallel.spatial", "tiled_forward"),
     "5.8 mesh": ("esr_tpu.parallel.mesh", "make_mesh"),
+    "5.8 multi-host dryrun": ("esr_tpu.parallel.multihost", "run_dryrun_step"),
     "pallas hot-op kernel": ("esr_tpu.ops.pallas.rdb_conv", "fused_rdb5c"),
     "fused upsample rewrite": ("esr_tpu.ops.fused", "upsample2x_conv3x3"),
 }
