@@ -47,6 +47,29 @@ class _RRDBScanBody(nn.Module):
         return RRDB(self.nf, self.gc, self.dtype, self.packed, name="block")(carry), None
 
 
+class _RRDBScanBodyZ(nn.Module):
+    """Carry-style RRDB with per-block Z re-injection for nn.scan
+    (``latent_input='all_layers'``). Carry = (trunk, z): the Z map rides the
+    carry unchanged so the scanned body sees it every block without a scanned
+    input axis; each block owns an independent 1x1 latent projection
+    (stacked under ``rrdb_scan/latent_proj`` with a leading (nb,) axis)."""
+
+    nf: int
+    gc: int
+    dtype: Dtype = jnp.float32
+    packed: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _):
+        trunk, z = carry
+        t = jnp.concatenate([trunk, z], axis=-1)
+        t = ConvLRelu(
+            self.nf, kernel=1, act=False, dtype=self.dtype, name="latent_proj"
+        )(t)
+        t = RRDB(self.nf, self.gc, self.dtype, self.packed, name="block")(t)
+        return (t, z), None
+
+
 class RRDBNet(nn.Module):
     in_nc: int = 3
     out_nc: int = 3
@@ -59,7 +82,8 @@ class RRDBNet(nn.Module):
     fused_upsample: bool = True  # 4-parity rewrite of upsample+conv (exact)
     scan_blocks: bool = True  # lax.scan over the nb identical RRDBs: compiles
     # one block body instead of nb (~20x faster XLA compiles); params carry a
-    # leading (nb,) axis under 'rrdb_scan'
+    # leading (nb,) axis under 'rrdb_scan'. With latent_input='all_layers' the
+    # scanned body re-injects Z per block (carry = (trunk, z))
     remat: bool = False  # rematerialize each RRDB in the backward pass
     packed: bool = True  # per-source packed RDB convs (1.45x on v5e; exact
     # same params, accumulation-order-only output difference — blocks.py)
@@ -79,9 +103,9 @@ class RRDBNet(nn.Module):
         x = x.astype(self.dtype)
         fea = ConvLRelu(self.nf, act=False, dtype=self.dtype, name="conv_first")(x)
         trunk = fea
-        use_scan = self.scan_blocks and self.latent_input != "all_layers"
-        if use_scan:
-            body = _RRDBScanBody
+        all_layers = self.latent_input == "all_layers" and self.num_latent_channels
+        if self.scan_blocks:
+            body = _RRDBScanBodyZ if all_layers else _RRDBScanBody
             if self.remat:
                 body = nn.remat(body, prevent_cse=False)
             scanned = nn.scan(
@@ -90,7 +114,10 @@ class RRDBNet(nn.Module):
                 split_rngs={"params": True},
                 length=self.nb,
             )(self.nf, self.gc, self.dtype, self.packed, name="rrdb_scan")
-            trunk, _ = scanned(trunk, None)
+            if all_layers:
+                (trunk, _), _ = scanned((trunk, z.astype(self.dtype)), None)
+            else:
+                trunk, _ = scanned(trunk, None)
         else:
             for i in range(self.nb):
                 if self.num_latent_channels and self.latent_input == "all_layers":

@@ -187,10 +187,23 @@ def load_rrdb_from_torch(state_dict: dict, nb: int = 23, scan: bool = True) -> d
 
 
 def stack_rrdb_params(params: dict, nb: int) -> dict:
-    """Convert an unrolled ``rrdb{i}`` param tree to the scan layout."""
-    out = {k: v for k, v in params.items() if not k.startswith("rrdb")}
+    """Convert an unrolled ``rrdb{i}`` param tree to the scan layout.
+
+    Also stacks per-block ``latent_proj{i}`` 1x1 convs (the
+    ``latent_input='all_layers'`` injections) under ``rrdb_scan/latent_proj``.
+    """
+    out = {
+        k: v
+        for k, v in params.items()
+        if not (k.startswith("rrdb") or k.startswith("latent_proj"))
+    }
     blocks = [params[f"rrdb{i}"] for i in range(nb)]
     out["rrdb_scan"] = {"block": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)}
+    if "latent_proj0" in params:
+        projs = [params[f"latent_proj{i}"] for i in range(nb)]
+        out["rrdb_scan"]["latent_proj"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *projs
+        )
     return out
 
 

@@ -83,6 +83,30 @@ def test_rrdbnet_latent_all_layers():
     assert model.apply(variables, x, z).shape == (1, 32, 32, 3)
 
 
+def test_all_layers_scan_matches_unrolled():
+    """latent_input='all_layers' under nn.scan (stacked per-block latent
+    projections) is numerically identical to the unrolled trunk after
+    stack_rrdb_params (which also stacks latent_proj{i})."""
+    from esr_tpu.models.networks import stack_rrdb_params
+
+    kw = dict(nf=16, nb=3, gc=8, scale=4, num_latent_channels=2,
+              latent_input="all_layers")
+    unrolled = RRDBNet(scan_blocks=False, **kw)
+    scanned = RRDBNet(scan_blocks=True, **kw)
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 2))
+    p = unrolled.init(rng, x, z)["params"]
+    y_unroll = unrolled.apply({"params": p}, x, z)
+    y_scan = scanned.apply({"params": stack_rrdb_params(p, nb=3)}, x, z)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unroll),
+                               atol=5e-5, rtol=0)
+    # z=None defaults to zeros on the scan path too
+    assert scanned.apply(
+        {"params": stack_rrdb_params(p, nb=3)}, x
+    ).shape == (2, 32, 32, 3)
+
+
 def test_discriminator_shapes():
     model = DiscriminatorVGG128(nf=8)
     x = jnp.zeros((2, 128, 128, 3))
