@@ -36,8 +36,10 @@ def bench_inference(batch: int = 16, lr_size: int = 128, iters: int = 12) -> dic
     from esr_tpu.cem import CEMConf, make_cem
     from esr_tpu.models.architecture import RRDBNet
 
+    fold = int(os.environ.get("BENCH_FOLD", 2))  # batch->channel MXU-lane fold
     model = RRDBNet(
-        nf=64, nb=23, gc=32, scale=4, num_latent_channels=1, dtype=jnp.bfloat16
+        nf=64, nb=23, gc=32, scale=4, num_latent_channels=1, fold=fold,
+        dtype=jnp.bfloat16,
     )
     cem = make_cem(CEMConf(scale=4))
     rng = np.random.default_rng(0)
@@ -93,7 +95,9 @@ def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 5) -> dict
     from esr_tpu.models.srragan_model import make_gan_train_step
 
     scale, nz = 4, 1
-    g_module = RRDBNet(nf=64, nb=23, gc=32, scale=scale, num_latent_channels=nz, dtype=jnp.bfloat16)
+    fold = int(os.environ.get("BENCH_FOLD", 2))
+    g_module = RRDBNet(nf=64, nb=23, gc=32, scale=scale, num_latent_channels=nz,
+                       fold=fold, dtype=jnp.bfloat16)
     d_module = DiscriminatorVGG128(nf=64, dtype=jnp.bfloat16)
     f_module = VGG19FeatureExtractor(dtype=jnp.bfloat16)
     cem = make_cem(CEMConf(scale=scale))

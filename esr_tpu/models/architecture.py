@@ -25,8 +25,11 @@ from esr_tpu.models.blocks import (
     ConvLRelu,
     Dtype,
     FusedUpsampleConvLRelu,
+    fold_batch,
+    fold_concat,
     kaiming_scaled,
     lrelu,
+    unfold_batch,
     upsample_nearest_2x,
 )
 
@@ -41,10 +44,16 @@ class _RRDBScanBody(nn.Module):
     gc: int
     dtype: Dtype = jnp.float32
     packed: bool = True
+    fold: int = 1
 
     @nn.compact
     def __call__(self, carry, _):
-        return RRDB(self.nf, self.gc, self.dtype, self.packed, name="block")(carry), None
+        return (
+            RRDB(self.nf, self.gc, self.dtype, self.packed, self.fold, name="block")(
+                carry
+            ),
+            None,
+        )
 
 
 class _RRDBScanBodyZ(nn.Module):
@@ -58,15 +67,17 @@ class _RRDBScanBodyZ(nn.Module):
     gc: int
     dtype: Dtype = jnp.float32
     packed: bool = True
+    fold: int = 1
 
     @nn.compact
     def __call__(self, carry, _):
         trunk, z = carry
-        t = jnp.concatenate([trunk, z], axis=-1)
+        t = fold_concat(trunk, z, self.fold)
         t = ConvLRelu(
-            self.nf, kernel=1, act=False, dtype=self.dtype, name="latent_proj"
+            self.nf, kernel=1, act=False, dtype=self.dtype, fold=self.fold,
+            name="latent_proj",
         )(t)
-        t = RRDB(self.nf, self.gc, self.dtype, self.packed, name="block")(t)
+        t = RRDB(self.nf, self.gc, self.dtype, self.packed, self.fold, name="block")(t)
         return (t, z), None
 
 
@@ -87,11 +98,22 @@ class RRDBNet(nn.Module):
     remat: bool = False  # rematerialize each RRDB in the backward pass
     packed: bool = True  # per-source packed RDB convs (1.45x on v5e; exact
     # same params, accumulation-order-only output difference — blocks.py)
+    fold: int = 1  # batch->channel fold: process `fold` images per row with
+    # block-diagonal kernels so every conv runs at >=128 MXU lanes (~1.1x on
+    # the v5e trunk at fold=2). Apply-time only: params/checkpoints unchanged;
+    # non-divisible (static) batches run unfolded; requires packed=True.
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, lr, z=None):
         """lr: (N,H,W,in_nc) in [0,1]; z: (N,H,W,num_latent_channels) or None."""
+        f = self.fold
+        if f > 1 and not self.packed:
+            raise ValueError("fold>1 requires packed=True")
+        # graceful degrade: batch is static under jit, so a non-divisible
+        # batch (B=1 eval, init traces) just runs unfolded — same params
+        if lr.shape[0] % f:
+            f = 1
         if self.num_latent_channels:
             if z is None:
                 z = jnp.zeros(
@@ -101,9 +123,15 @@ class RRDBNet(nn.Module):
         else:
             x = lr
         x = x.astype(self.dtype)
-        fea = ConvLRelu(self.nf, act=False, dtype=self.dtype, name="conv_first")(x)
+        if f > 1:
+            x = fold_batch(x, f)
+        fea = ConvLRelu(self.nf, act=False, dtype=self.dtype, fold=f, name="conv_first")(x)
         trunk = fea
         all_layers = self.latent_input == "all_layers" and self.num_latent_channels
+        if all_layers:
+            zc = z.astype(self.dtype)
+            if f > 1:
+                zc = fold_batch(zc, f)
         if self.scan_blocks:
             body = _RRDBScanBodyZ if all_layers else _RRDBScanBody
             if self.remat:
@@ -113,34 +141,36 @@ class RRDBNet(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.nb,
-            )(self.nf, self.gc, self.dtype, self.packed, name="rrdb_scan")
+            )(self.nf, self.gc, self.dtype, self.packed, f, name="rrdb_scan")
             if all_layers:
-                (trunk, _), _ = scanned((trunk, z.astype(self.dtype)), None)
+                (trunk, _), _ = scanned((trunk, zc), None)
             else:
                 trunk, _ = scanned(trunk, None)
         else:
             for i in range(self.nb):
-                if self.num_latent_channels and self.latent_input == "all_layers":
-                    zc = z.astype(self.dtype)
-                    trunk = jnp.concatenate([trunk, zc], axis=-1)
+                if all_layers:
+                    trunk = fold_concat(trunk, zc, f)
                     trunk = ConvLRelu(
-                        self.nf, kernel=1, act=False, dtype=self.dtype, name=f"latent_proj{i}"
+                        self.nf, kernel=1, act=False, dtype=self.dtype, fold=f,
+                        name=f"latent_proj{i}",
                     )(trunk)
-                block = RRDB(self.nf, self.gc, self.dtype, self.packed, name=f"rrdb{i}")
+                block = RRDB(self.nf, self.gc, self.dtype, self.packed, f, name=f"rrdb{i}")
                 trunk = block(trunk)
-        trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="trunk_conv")(trunk)
+        trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, fold=f, name="trunk_conv")(trunk)
         fea = fea + trunk
         n_up = {1: 0, 2: 1, 4: 2, 8: 3}[self.scale]
         for i in range(n_up):
             if self.fused_upsample:
                 fea = FusedUpsampleConvLRelu(
-                    self.nf, dtype=self.dtype, name=f"upconv{i + 1}"
+                    self.nf, dtype=self.dtype, fold=f, name=f"upconv{i + 1}"
                 )(fea)
             else:
                 fea = upsample_nearest_2x(fea)
-                fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
-        fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name="HRconv")(fea)
-        out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, name="conv_last")(fea)
+                fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, fold=f, name=f"upconv{i + 1}")(fea)
+        fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, fold=f, name="HRconv")(fea)
+        out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, fold=f, name="conv_last")(fea)
+        if f > 1:
+            out = unfold_batch(out, f)
         return out.astype(jnp.float32)
 
 

@@ -41,9 +41,23 @@ class ConvLRelu(nn.Module):
     act: bool = True
     init_scale: float = 1.0
     dtype: Dtype = jnp.float32
+    fold: int = 1  # batch->channel fold (stride-1 only); params unchanged
 
     @nn.compact
     def __call__(self, x):
+        if self.fold > 1:
+            if self.stride != 1:
+                raise ValueError("fold>1 supports stride=1 only")
+            k, b = _ConvParams(
+                (self.kernel, self.kernel, x.shape[-1] // self.fold, self.features),
+                self.init_scale,
+                name="Conv_0",
+            )()
+            kf = fold_kernel(k, self.fold)
+            bf = jnp.tile(b, self.fold)
+            y = _conv_same(x.astype(self.dtype), kf.astype(self.dtype))
+            y = y + bf.astype(self.dtype)
+            return lrelu(y) if self.act else y
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -67,6 +81,71 @@ def _conv_same(x, w, precision=None):
     )
 
 
+# --------------------------------------------------------------------------
+# batch->channel folding (fold=f): process f images per "row" by stacking
+# their channels and turning every conv kernel block-diagonal. Measured on
+# v5e (PROGRESS_NOTES r2): the MXU runs 128/256-wide convs at 144-176 TFLOP/s
+# but the architecture's 32/64-wide convs at only 8-51, so doubling Cin/Cout
+# at 2x (structurally zero) FLOPs is a ~1.10x net win on the trunk. Pure
+# apply-time transform: params, checkpoints and math per image are unchanged.
+# --------------------------------------------------------------------------
+
+
+def fold_batch(x: jax.Array, f: int) -> jax.Array:
+    """(B,H,W,C) -> (B/f,H,W,f*C), group(=image)-major channels."""
+    b, h, w, c = x.shape
+    if b % f:
+        raise ValueError(f"fold={f} requires batch divisible by {f}, got {b}")
+    return jnp.transpose(x.reshape(f, b // f, h, w, c), (1, 2, 3, 0, 4)).reshape(
+        b // f, h, w, f * c
+    )
+
+
+def unfold_batch(x: jax.Array, f: int) -> jax.Array:
+    """Inverse of fold_batch."""
+    b, h, w, fc = x.shape
+    c = fc // f
+    return jnp.transpose(x.reshape(b, h, w, f, c), (3, 0, 1, 2, 4)).reshape(
+        b * f, h, w, c
+    )
+
+
+def fold_concat(a: jax.Array, b_: jax.Array, f: int) -> jax.Array:
+    """Channel-concat of two folded tensors, preserving group-major layout
+    (plain concatenate would interleave groups wrongly for f>1)."""
+    if f == 1:
+        return jnp.concatenate([a, b_], axis=-1)
+    n, h, w, fca = a.shape
+    ca, cb = fca // f, b_.shape[-1] // f
+    out = jnp.concatenate(
+        [a.reshape(n, h, w, f, ca), b_.reshape(n, h, w, f, cb)], axis=-1
+    )
+    return out.reshape(n, h, w, f * (ca + cb))
+
+
+def fold_kernel(w: jax.Array, f: int, parts: tuple[int, ...] | None = None):
+    """(kh,kw,cin,cout) -> (kh,kw,f*cin,f*cout) block-diagonal kernel.
+
+    Input channels are group-major (fold_batch layout). Output channels are
+    PART-major: for each part p of the ``parts`` split of cout, the f groups'
+    p-outputs are contiguous ([p0 g0..gf-1 | p1 g0..gf-1 | ...]) so the
+    packed-RDB slice arithmetic stays contiguous under folding. With
+    parts=None the whole cout is one part (output = group-major)."""
+    if f == 1:
+        return w
+    kh, kw, cin, cout = w.shape
+    parts = (cout,) if parts is None else tuple(parts)
+    eye = jnp.eye(f, dtype=w.dtype)
+    blocks = []
+    lo = 0
+    for p in parts:
+        wp = w[:, :, :, lo : lo + p]
+        blk = jnp.einsum("hwio,gk->hwgiko", wp, eye).reshape(kh, kw, f * cin, f * p)
+        blocks.append(blk)
+        lo += p
+    return jnp.concatenate(blocks, axis=-1) if len(blocks) > 1 else blocks[0]
+
+
 class ResidualDenseBlock5C(nn.Module):
     """5-conv dense block: conv_i sees concat(x, x1..x_{i-1}); out = x + 0.2*x5.
 
@@ -86,10 +165,13 @@ class ResidualDenseBlock5C(nn.Module):
     gc: int = 32
     dtype: Dtype = jnp.float32
     packed: bool = True
+    fold: int = 1  # batch->channel fold factor (input/output already folded)
 
     @nn.compact
     def __call__(self, x):
         if not self.packed:
+            if self.fold != 1:
+                raise ValueError("fold>1 requires packed=True")
             feats = [x]
             for i in range(4):
                 xi = ConvLRelu(
@@ -101,7 +183,7 @@ class ResidualDenseBlock5C(nn.Module):
             )(jnp.concatenate(feats, axis=-1))
             return x + 0.2 * x5
 
-        nf, gc = self.nf, self.gc
+        nf, gc, f = self.nf, self.gc, self.fold
         ws, bs = [], []
         for j in range(1, 6):
             cout = nf if j == 5 else gc
@@ -109,9 +191,11 @@ class ResidualDenseBlock5C(nn.Module):
                 (3, 3, nf + (j - 1) * gc, cout), init_scale=0.1, name=f"conv{j}"
             )()
             ws.append(k)
-            bs.append(b.astype(self.dtype))
+            bs.append(jnp.tile(b, f).astype(self.dtype) if f > 1 else b.astype(self.dtype))
         # per-source weight packing: source s's slice of every later target,
-        # concatenated along Cout (pure weight reshuffling — params-sized)
+        # concatenated along Cout (pure weight reshuffling — params-sized);
+        # under fold>1 each packed kernel becomes block-diagonal with
+        # PART-major outputs so the slice arithmetic below stays contiguous
         w_src = [
             jnp.concatenate(
                 [ws[0]] + [ws[t][:, :, :nf] for t in range(1, 5)], axis=-1
@@ -124,6 +208,12 @@ class ResidualDenseBlock5C(nn.Module):
                     [ws[t][:, :, lo : lo + gc] for t in range(s, 5)], axis=-1
                 )
             )
+        if f > 1:
+            w_src = [
+                fold_kernel(w, f, parts=(gc,) * (4 - s) + (nf,))
+                for s, w in enumerate(w_src)
+            ]
+        gc, nf = f * gc, f * nf  # folded slice widths
         x = x.astype(self.dtype)
         y0 = _conv_same(x, w_src[0])  # (..., 4gc+nf): parts [x1|x2|x3|x4|x5]
         x1 = lrelu(y0[..., :gc] + bs[0])
@@ -158,13 +248,15 @@ class RRDB(nn.Module):
     gc: int = 32
     dtype: Dtype = jnp.float32
     packed: bool = True
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         out = x
         for i in range(3):
             out = ResidualDenseBlock5C(
-                self.nf, self.gc, self.dtype, self.packed, name=f"rdb{i + 1}"
+                self.nf, self.gc, self.dtype, self.packed, self.fold,
+                name=f"rdb{i + 1}",
             )(out)
         return x + 0.2 * out
 
@@ -211,12 +303,18 @@ class FusedUpsampleConvLRelu(nn.Module):
 
     features: int
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         from esr_tpu.ops.fused import upsample2x_conv3x3
 
-        k, b = _ConvParams((3, 3, x.shape[-1], self.features), name="Conv_0")()
+        k, b = _ConvParams(
+            (3, 3, x.shape[-1] // self.fold, self.features), name="Conv_0"
+        )()
+        if self.fold > 1:
+            k = fold_kernel(k, self.fold)
+            b = jnp.tile(b, self.fold)
         out = upsample2x_conv3x3(
             x.astype(self.dtype), k.astype(self.dtype), b.astype(self.dtype)
         )

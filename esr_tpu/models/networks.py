@@ -67,6 +67,7 @@ def define_G(opt: dict) -> RRDBNet:
         num_latent_channels=nz,
         latent_input=latent or "first_layer",
         packed=bool(o.get("packed", True)),
+        fold=int(o.get("fold") or 1),
         dtype=dtype,
     )
 

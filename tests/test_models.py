@@ -107,6 +107,49 @@ def test_all_layers_scan_matches_unrolled():
     ).shape == (2, 32, 32, 3)
 
 
+@pytest.mark.parametrize("latent", ["first_layer", "all_layers"])
+def test_fold2_matches_unfolded(latent):
+    """fold=2 (batch->channel block-diagonal folding, the v5e MXU-lane
+    optimization) is numerically equivalent to the unfolded forward with the
+    SAME param tree, for both latent injection modes."""
+    kw = dict(nf=16, nb=2, gc=8, scale=4, num_latent_channels=2,
+              latent_input=latent)
+    base = RRDBNet(fold=1, **kw)
+    folded = RRDBNet(fold=2, **kw)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 2))
+    p = base.init(jax.random.PRNGKey(0), x[:1], z[:1])["params"]
+    # identical param trees (fold is apply-time only)
+    assert jax.tree.structure(folded.init(jax.random.PRNGKey(0), x, z)["params"]
+                              ) == jax.tree.structure(p)
+    y0 = base.apply({"params": p}, x, z)
+    y1 = folded.apply({"params": p}, x, z)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=5e-5, rtol=0)
+    # non-divisible batch degrades gracefully to unfolded
+    y_odd = folded.apply({"params": p}, x[:3], z[:3])
+    np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y0[:3]), atol=5e-5, rtol=0)
+
+
+def test_fold2_gradients_match():
+    """Grads through the folded apply equal the unfolded grads (training can
+    run folded)."""
+    kw = dict(nf=8, nb=1, gc=4, scale=4)
+    base, folded = RRDBNet(fold=1, **kw), RRDBNet(fold=2, **kw)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 6, 6, 3))
+    p = base.init(jax.random.PRNGKey(0), x)["params"]
+
+    def make_loss(m):
+        return lambda params: jnp.sum(m.apply({"params": params}, x) ** 2)
+
+    g0 = jax.grad(make_loss(base))(p)
+    g1 = jax.grad(make_loss(folded))(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                                atol=1e-4, rtol=1e-4),
+        g0, g1,
+    )
+
+
 def test_discriminator_shapes():
     model = DiscriminatorVGG128(nf=8)
     x = jnp.zeros((2, 128, 128, 3))
