@@ -66,6 +66,28 @@ def test_dp_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_dp_composes_with_fold():
+    """fold=2 (batch->channel MXU folding) under 8-way DP: each device's
+    local batch folds independently; result equals the unfolded DP step."""
+    mesh = make_mesh(8)
+    data = {
+        "LR": jnp.asarray(np.random.default_rng(0).random((16, 8, 8, 3)), jnp.float32),
+        "HR": jnp.asarray(np.random.default_rng(1).random((16, 32, 32, 3)), jnp.float32),
+    }
+    losses = {}
+    for fold in (1, 2):
+        model = RRDBNet(nf=8, nb=1, gc=4, scale=4, fold=fold)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+
+        def step(params, batch, rng):
+            sr = model.apply({"params": params}, batch["LR"])
+            return params, jnp.mean(jnp.abs(sr - batch["HR"]))
+
+        dp_step = make_dp_train_step(step, mesh, n_state_args=1, n_extra_args=1, donate=False)
+        _, losses[fold] = dp_step(params, shard_batch(data, mesh), jax.random.PRNGKey(1))
+    assert float(losses[1]) == pytest.approx(float(losses[2]), abs=1e-6)
+
+
 def test_spatial_halo_exchange_exact_for_local_op():
     """A local operator whose receptive radius fits in the halo is EXACTLY
     reproduced by the sharded forward (validates the ppermute mechanics and
