@@ -28,9 +28,22 @@ Status (v5e, B4 96x96 nf=64): runs end-to-end on hardware (bf16 parity
 ~1.6e-2, accumulation-order rounding), but at the VMEM-feasible strip=6 the
 halo recompute (16/6 rows) and small-M matmuls leave it ~6x slower than
 XLA's conv emitter (11.8ms vs 1.9ms) — strip=22 exceeds the 16MB VMEM stack
-by 16KB. The XLA path therefore remains the production default; this kernel
-is the correctness-proven scaffold for width-tiled / in-place-accumulating
-variants (PROGRESS_NOTES.md).
+by 16KB. The XLA path therefore remains the production default.
+
+Round-2 closure (why the Pallas route stays shelved, with measurements —
+PROGRESS_NOTES "v5e conv-shape law"): the deficit is CHANNEL-WIDTH, not
+fusion. XLA's conv fusions at >=128-wide channels run at 144-194 TF/s (the
+packed y0 fusion measures 194 TF/s = 98% of bf16 peak — nothing left for a
+custom kernel there), while 32/64-wide convs run at 8-51 TF/s. The
+production fix was algebraic, not a kernel: per-source conv packing plus
+batch->channel fold=2 with block-diagonal kernels (models/blocks.py) lifts
+every trunk conv to >=128 lanes => 26.2 MP/s end-to-end. What a Pallas
+kernel could still add is K-packing for the remaining Cin=64 tail convs
+(9 taps x 64ch = 576-deep contractions, ~0.7ms/RDB headroom), but building
+576-wide im2col rows in VMEM needs lane-offset concats/rotates in bf16,
+which this toolchain's Mosaic rejects (and f32 staging halves MXU rate) —
+the same constraint that capped this kernel. Revisit only if Mosaic gains
+bf16 lane rotates.
 """
 
 from __future__ import annotations
