@@ -109,6 +109,8 @@ def _dispatch(vm, cmd: str, args: list[str]) -> str:
     if cmd == "clear":
         return vm.clear_selection()
     if cmd == "variance":
+        if not args or args[0] not in ("+", "-"):
+            raise ValueError("usage: variance +|-")
         return vm.variance(+1 if args[0] == "+" else -1)
     if cmd == "brightness":
         return vm.brightness(float(args[0]))

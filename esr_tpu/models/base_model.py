@@ -130,7 +130,23 @@ class BaseModel:
     def _ckptr(self):
         import orbax.checkpoint as ocp
 
+        if self.opt.get("async_checkpoint"):
+            # orbax async: device->host copy happens synchronously, the disk
+            # write on a background thread — training resumes immediately
+            # (SURVEY.md §5.3 TPU-native equivalent). One instance per model:
+            # AsyncCheckpointer owns the worker thread.
+            if not hasattr(self, "_async_ckptr"):
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler()
+                )
+            return self._async_ckptr
         return ocp.PyTreeCheckpointer()
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until pending async checkpoint writes are durable (call
+        before reading a just-saved checkpoint or at clean shutdown)."""
+        if hasattr(self, "_async_ckptr"):
+            self._async_ckptr.wait_until_finished()
 
     def save_network(self, params, network_label: str, iter_label) -> str:
         path = os.path.join(

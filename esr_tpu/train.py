@@ -9,7 +9,10 @@ iterate (feed_data -> optimize_parameters -> periodic log / val-PSNR /
 checkpoint), with resume support. TPU specifics: the fused device pipeline
 runs inside the jitted train step, validation uses the on-device PSNR twin,
 and checkpoints are orbax trees. ``--auto_resume`` resumes from the newest
-state without an explicit path (preemption-friendly, SURVEY.md §5.3).
+state without an explicit path (preemption-friendly, SURVEY.md §5.3), and a
+SIGTERM handler (cloud/TPU-pod preemption notice) finishes the in-flight
+step, saves network + full training state, and exits cleanly — rerunning
+with ``--auto_resume`` continues where preemption struck.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import argparse
 import logging
 import math
 import os
+import signal
 
 
 def main(argv=None) -> None:
@@ -33,6 +37,16 @@ def main(argv=None) -> None:
     from esr_tpu.utils.logger import Logger
 
     opt = options_mod.parse(args.opt, is_train=True)
+
+    # preemption handling (SURVEY.md §5.3): SIGTERM sets a flag; the train
+    # loop finishes the in-flight step, checkpoints, and exits 0. Installed
+    # before model build so a notice during compile is honored too.
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):  # noqa: ARG001
+        preempted["flag"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
     resume_path = opt["path"].get("resume_state")
     if args.auto_resume and not resume_path:
@@ -81,7 +95,7 @@ def main(argv=None) -> None:
 
     for epoch in range(start_epoch, total_epochs + 1):
         for batch in train_loader:
-            if current_step >= niter:
+            if current_step >= niter or preempted["flag"]:
                 break
             current_step += 1
             model.update_learning_rate()
@@ -102,11 +116,20 @@ def main(argv=None) -> None:
                 model.save(current_step)
                 model.save_training(epoch, current_step)
                 logger.info(f"checkpoint saved @ iter {current_step}")
-        if current_step >= niter:
+        if current_step >= niter or preempted["flag"]:
             break
 
+    signal.signal(signal.SIGTERM, prev_handler)
+    if preempted["flag"]:
+        model.save("latest")
+        model.save_training(epoch, current_step)
+        model.wait_for_checkpoints()
+        logger.info(f"preempted (SIGTERM) — state saved @ iter {current_step}; "
+                    "rerun with --auto_resume to continue")
+        return
     model.save("latest")
     model.save_training(total_epochs, current_step)
+    model.wait_for_checkpoints()
     logger.info("training complete")
 
 

@@ -304,3 +304,85 @@ def test_parallel_validation_errors():
         fwd({}, jnp.zeros((1, 30, 16, 3)))  # 30 % 8 != 0
     with _pytest.raises(ValueError, match="halo"):
         fwd({}, jnp.zeros((1, 16, 16, 3)))  # local strip 2 < halo 4
+
+
+def test_preemption_sigterm_saves_and_resumes(tmp_path, image_dir):
+    """SIGTERM during training (cloud preemption notice) finishes the step,
+    saves network + training state, exits cleanly; --auto_resume continues
+    (SURVEY.md §5.3)."""
+    import glob
+    import signal
+    import threading
+
+    from esr_tpu.train import main as train_main
+
+    opt = {
+        "name": "preempt_test",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "datasets": {
+            "train": {
+                "name": "folder", "mode": "LRHR", "dataroot_HR": image_dir,
+                "HR_size": 32, "batch_size": 2, "use_shuffle": True,
+            },
+        },
+        "path": {"root": str(tmp_path)},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "train": {"lr_G": 1e-3, "niter": 500, "manual_seed": 0,
+                   "pixel_criterion": "l1", "pixel_weight": 1.0},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 1000},
+    }
+    opt_path = tmp_path / "opt.json"
+    opt_path.write_text(json.dumps(opt))
+
+    timer = threading.Timer(5.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        train_main(["-opt", str(opt_path)])  # returns (not 500 iters) on SIGTERM
+    finally:
+        timer.cancel()
+
+    exp = tmp_path / "experiments" / "preempt_test"
+    states = os.listdir(exp / "training_state")
+    assert states, "preemption did not save a training state"
+    assert any("latest_G" in m for m in os.listdir(exp / "models"))
+    logs = glob.glob(str(exp / "**" / "*.log"), recursive=True) + glob.glob(
+        str(exp / "*.log"))
+    assert any("preempted" in open(p).read() for p in logs), logs
+
+    # continue from the preempted state for a couple more iters
+    saved_iter = max(int(s.split(".")[0]) for s in states)
+    opt["train"]["niter"] = saved_iter + 2
+    opt_path.write_text(json.dumps(opt))
+    train_main(["-opt", str(opt_path), "--auto_resume"])
+    final = {int(s.split(".")[0]) for s in os.listdir(exp / "training_state")}
+    assert saved_iter + 2 in final, final
+
+
+def test_net_interp_script(tmp_path):
+    """Network interpolation (ESRGAN net_interp recipe): orbax checkpoints
+    blend leaf-wise; mismatched trees rejected."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from esr_tpu.scripts.net_interp import main as interp_main
+
+    ckptr = ocp.PyTreeCheckpointer()
+    a = {"params": {"conv": {"kernel": jnp.ones((3, 3, 2, 2)), "bias": jnp.zeros(2)}}}
+    b = {"params": {"conv": {"kernel": 3 * jnp.ones((3, 3, 2, 2)), "bias": jnp.ones(2)}}}
+    pa, pb, po = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "out")
+    ckptr.save(pa, jax.device_get(a))
+    ckptr.save(pb, jax.device_get(b))
+    interp_main(["--model_psnr", pa, "--model_gan", pb, "--alpha", "0.25", "--out", po])
+    out = ckptr.restore(po)
+    np.testing.assert_allclose(out["params"]["conv"]["kernel"], 1.5)  # 0.75*1+0.25*3
+    np.testing.assert_allclose(out["params"]["conv"]["bias"], 0.25)
+
+    bad = {"params": {"other": {"kernel": jnp.ones((1,))}}}
+    pbad = str(tmp_path / "bad")
+    ckptr.save(pbad, jax.device_get(bad))
+    with pytest.raises(ValueError, match="different param trees"):
+        interp_main(["--model_psnr", pa, "--model_gan", pbad, "--alpha", "0.5",
+                     "--out", str(tmp_path / "nope")])

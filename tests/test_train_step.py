@@ -473,3 +473,28 @@ def test_logger_csv_resume_no_duplicate_header(tmp_path):
     assert rows[0] == ["step", "epoch", "lr", "l_pix"]
     assert sum(1 for r in rows if r and r[0] == "step") == 1  # single header
     assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
+
+
+def test_async_checkpointing_roundtrip(tmp_path):
+    """async_checkpoint=True: saves return immediately (background write),
+    wait_for_checkpoints makes them durable, restore matches (SURVEY §5.3)."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path)
+    opt["async_checkpoint"] = True
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.optimize_parameters(1)
+    model.save(1)
+    model.save_training(0, 1)
+    model.wait_for_checkpoints()
+
+    opt2 = tiny_train_opt(tmp_path)
+    model2 = create_model(opt2)
+    import os
+    state_path = os.path.join(opt["path"]["training_state"], "1.state")
+    epoch, it = model2.resume_training(state_path)
+    assert (epoch, it) == (0, 1)
+    a = jax.tree.leaves(model.state.params)[0]
+    b = jax.tree.leaves(model2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
