@@ -68,6 +68,9 @@ INVENTORY = {
     "5.8 multi-host dryrun": ("esr_tpu.parallel.multihost", "run_dryrun_step"),
     "pallas hot-op kernel": ("esr_tpu.ops.pallas.rdb_conv", "fused_rdb5c"),
     "fused upsample rewrite": ("esr_tpu.ops.fused", "upsample2x_conv3x3"),
+    "2.15 network interpolation (ESRGAN recipe)": ("esr_tpu.scripts.net_interp", "main"),
+    "5.3 async checkpointing": ("esr_tpu.models.base_model", "BaseModel"),
+    "perf: MXU-lane batch fold": ("esr_tpu.models.blocks", "fold_kernel"),
 }
 
 
