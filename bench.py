@@ -144,6 +144,11 @@ def main() -> None:
         iters=int(os.environ.get("BENCH_ITERS", 12)),
     )
     extra = {
+        "config": {
+            "batch": int(os.environ.get("BENCH_BATCH", 16)),
+            "lr_size": int(os.environ.get("BENCH_LR_SIZE", 128)),
+            "fold": int(os.environ.get("BENCH_FOLD", 2)),
+        },
         "cem_consistency_max_err": result["cem_residual"],
         # driver metric #3 (Set5 PSNR delta vs the reference's released
         # checkpoints) is blocked on assets: neither the reference .pth
