@@ -37,13 +37,12 @@ packed y0 fusion measures 194 TF/s = 98% of bf16 peak — nothing left for a
 custom kernel there), while 32/64-wide convs run at 8-51 TF/s. The
 production fix was algebraic, not a kernel: per-source conv packing plus
 batch->channel fold=2 with block-diagonal kernels (models/blocks.py) lifts
-every trunk conv to >=128 lanes => 26.2 MP/s end-to-end. What a Pallas
-kernel could still add is K-packing for the remaining Cin=64 tail convs
-(9 taps x 64ch = 576-deep contractions, ~0.7ms/RDB headroom), but building
-576-wide im2col rows in VMEM needs lane-offset concats/rotates in bf16,
-which this toolchain's Mosaic rejects (and f32 staging halves MXU rate) —
-the same constraint that capped this kernel. Revisit only if Mosaic gains
-bf16 lane rotates.
+every trunk conv to >=128 lanes => 26.2 MP/s end-to-end. The remaining idea
+— K-packing the Cin=64 tail convs (9 taps x 64ch = 576-deep contractions) —
+WAS built and measured in round 2: see ``kpack_conv.py`` (bf16 lane-concat
+turned out to be supported; only rolls fail). Verdict: exact parity but
+0.425 ms vs XLA's 0.350 on the target shape — XLA already K-packs these
+shapes; the Pallas route stays shelved on measurement, not expressibility.
 """
 
 from __future__ import annotations

@@ -29,3 +29,21 @@ def test_fused_rdb5c_nonsquare_and_batch():
     ref = block.apply(variables, x)
     got = fused_rdb5c(x, rdb5c_params_from_flax(variables["params"]), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_kpack_conv_matches_lax_conv():
+    """K-packed im2col conv (ops/pallas/kpack_conv.py) is exact vs lax.conv
+    (interpret mode on the CPU mesh; on-hardware verdict in the docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from esr_tpu.ops.pallas.kpack_conv import kpack_conv3x3
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (2, 16, 16, 8), jnp.float32)
+    w = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 12), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = kpack_conv3x3(x, w, rows_per_group=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
