@@ -128,6 +128,12 @@ def test_fold2_matches_unfolded(latent):
     # non-divisible batch degrades gracefully to unfolded
     y_odd = folded.apply({"params": p}, x[:3], z[:3])
     np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y0[:3]), atol=5e-5, rtol=0)
+    # unrolled trunk x fold composes too (latent_proj/fold_concat path)
+    unrolled = RRDBNet(fold=2, scan_blocks=False, **kw)
+    pu = unrolled.init(jax.random.PRNGKey(0), x, z)["params"]
+    yu = unrolled.apply({"params": pu}, x, z)
+    yu0 = RRDBNet(fold=1, scan_blocks=False, **kw).apply({"params": pu}, x, z)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(yu0), atol=5e-5, rtol=0)
 
 
 def test_fold2_gradients_match():
