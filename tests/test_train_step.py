@@ -498,3 +498,33 @@ def test_async_checkpointing_roundtrip(tmp_path):
     a = jax.tree.leaves(model.state.params)[0]
     b = jax.tree.leaves(model2.state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_net_interp_model_checkpoints(tmp_path):
+    """net_interp on real model checkpoints: blend two trained-G artifacts
+    and load the result back through the normal pretrain path."""
+    from esr_tpu.models import create_model
+    from esr_tpu.scripts.net_interp import main as interp_main
+
+    opt = tiny_train_opt(tmp_path)
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    model.save("A")
+    model.optimize_parameters(1)
+    model.save("B")
+    models_dir = opt["path"]["models"]
+    import os
+    pa = os.path.join(models_dir, "A_G")
+    pb = os.path.join(models_dir, "B_G")
+    po = os.path.join(models_dir, "interp_G")
+    interp_main(["--model_psnr", pa, "--model_gan", pb, "--alpha", "0.5", "--out", po])
+
+    opt2 = tiny_train_opt(tmp_path)
+    opt2["path"]["pretrain_model_G"] = po
+    model2 = create_model(opt2)
+    a = jax.tree.leaves(model.state.params)[0]  # post-step (B endpoint)
+    mid = jax.tree.leaves(model2.state.params)[0]
+    assert np.isfinite(np.asarray(mid)).all()
+    # interp lies strictly between endpoints wherever they differ
+    diff = np.abs(np.asarray(a) - np.asarray(mid))
+    assert diff.max() > 0  # actually moved off the B endpoint
