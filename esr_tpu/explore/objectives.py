@@ -55,17 +55,18 @@ class Objective(NamedTuple):
     """
 
     fn: Callable[[jax.Array, jax.Array, dict], jax.Array]
-    aux: dict[str, Any] = {}
+    aux: dict[str, Any] | None = None  # None == no aux (a shared {} default
+    # would be a mutable-default trap across instances)
     spatial: tuple[str, ...] = ()
 
     def __call__(self, sr, mask):
-        return self.fn(sr, mask, self.aux)
+        return self.fn(sr, mask, self.aux or {})
 
     def crop_hr(self, y_hr: int, x_hr: int, size_hr: int) -> "Objective":
         """Return a copy with every spatial aux cropped to the HR window."""
         if not self.spatial:
             return self
-        aux = dict(self.aux)
+        aux = dict(self.aux or {})
         for k in self.spatial:
             a = aux[k]
             start = [0] * a.ndim

@@ -118,10 +118,18 @@ class ExplorationSession:
     # -- core ops ----------------------------------------------------------
 
     def current_sr(self, z: np.ndarray | None = None) -> np.ndarray:
-        z = self.z if z is None else z
-        sr = self._forward(self._params, jnp.asarray(self.lr_img), jnp.asarray(z))
-        self._sr_cache = np.asarray(sr)
-        return self._sr_cache
+        if z is None:
+            # cached: every Z mutation clears _sr_cache, so UI refreshes
+            # (pointer events, overlays) don't redispatch the forward
+            if self._sr_cache is None:
+                sr = self._forward(
+                    self._params, jnp.asarray(self.lr_img), jnp.asarray(self.z)
+                )
+                self._sr_cache = np.asarray(sr)
+            return self._sr_cache
+        return np.asarray(
+            self._forward(self._params, jnp.asarray(self.lr_img), jnp.asarray(z))
+        )
 
     def _push_history(self) -> None:
         self._history.append(self.z.copy())
@@ -233,7 +241,7 @@ class ExplorationSession:
             cands.append((z_opt, sr))
             if candidate_cb is not None:
                 candidate_cb(i + 1, k)
-        self._sr_cache = None  # current_sr(base_z) overwrote the cache
+        self._sr_cache = None  # defensive: keep cache tied to self.z only
         return cands
 
     def apply_alternative(self, z: np.ndarray) -> None:

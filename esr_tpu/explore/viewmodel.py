@@ -131,6 +131,7 @@ class EditorViewModel:
             raise ValueError(f"selection mode must be one of {_MODES}, got {mode!r}")
         self.selection_mode = mode
         self._drag_start = None
+        self._drag_cur = None
         self._poly_vertices = []
         self._brush_mask = None
         return self._set_status(f"selection mode: {mode}")
@@ -163,6 +164,7 @@ class EditorViewModel:
         if self.selection_mode == "rect" and self._drag_start is not None:
             y0, x0 = self._drag_start
             self._drag_start = None
+            self._drag_cur = None
             self.session.select_rect(min(y0, y), min(x0, x), max(y0, y) + 1, max(x0, x) + 1)
             self._set_status(f"selected rect ({min(y0, y)},{min(x0, x)})-({max(y0, y)},{max(x0, x)})")
         elif self.selection_mode == "brush" and self._brush_mask is not None:
@@ -222,6 +224,14 @@ class EditorViewModel:
         if show_selection and mask is not None:
             edge = _mask_boundary(mask)
             img[edge] = (255.0, 255.0, 0.0)  # yellow outline
+        if show_selection and self._drag_start is not None and self._drag_cur is not None:
+            # live rubber band for an in-progress rect drag (SR itself is
+            # cached by the session, so this refresh is host-side only)
+            (ya, xa), (yb, xb) = self._drag_start, self._drag_cur
+            y0, y1 = sorted((ya, yb))
+            x0, x1 = sorted((xa, xb))
+            img[y0 : y1 + 1, (x0, x1)] = (255.0, 255.0, 0.0)
+            img[(y0, y1), x0 : x1 + 1] = (255.0, 255.0, 0.0)
         return img.round().clip(0, 255).astype(np.uint8)
 
     # -- tools ---------------------------------------------------------------

@@ -56,7 +56,7 @@ class _LegacyObjective:
 
 def _as_fn_aux(objective):
     if isinstance(objective, Objective):
-        return objective.fn, objective.aux
+        return objective.fn, objective.aux or {}
     return _LegacyObjective(objective), {}
 
 

@@ -168,10 +168,38 @@ class BaseModel:
                 and not (isinstance(template, dict) and "params" in template)
             ):
                 restored = restored["params"]
+            restored = self._migrate_scan_layout(restored, template)
             # re-impose dtypes/structure of the live template
             restored = jax.tree.map(
                 lambda t, r: jnp.asarray(r, dtype=t.dtype), template, restored
             )
+        return restored
+
+    @staticmethod
+    def _migrate_scan_layout(restored, template):
+        """Auto-migrate an unrolled ``rrdb{i}`` checkpoint to the scan layout
+        when the live model uses ``rrdb_scan`` (covers pre-scan all_layers
+        checkpoints and unscanned exports; param values are identical — the
+        scan layout just stacks the per-block trees)."""
+
+        def find(tree):
+            if not isinstance(tree, dict):
+                return None
+            if "rrdb_scan" in tree or "rrdb0" in tree:
+                return tree
+            if "params" in tree:
+                return find(tree["params"])
+            return None
+
+        t, r = find(template), find(restored)
+        if t is None or r is None or "rrdb_scan" not in t or "rrdb0" not in r:
+            return restored
+        from esr_tpu.models.networks import stack_rrdb_params
+
+        nb = jax.tree.leaves(t["rrdb_scan"])[0].shape[0]
+        migrated = stack_rrdb_params(r, nb)
+        r.clear()
+        r.update(migrated)
         return restored
 
     def save_training_state(self, epoch: int, iter_step: int, state_tree: dict) -> str:

@@ -92,11 +92,16 @@ def _conv_same(x, w, precision=None):
 
 
 def fold_batch(x: jax.Array, f: int) -> jax.Array:
-    """(B,H,W,C) -> (B/f,H,W,f*C), group(=image)-major channels."""
+    """(B,H,W,C) -> (B/f,H,W,f*C), group(=image)-major channels.
+
+    ADJACENT images are grouped (row n carries images n*f..n*f+f-1) so that
+    under batch ('data') sharding every fold group stays shard-local — a
+    fold-major grouping would pair images living on different devices and
+    force cross-device permutes on every fold/unfold."""
     b, h, w, c = x.shape
     if b % f:
         raise ValueError(f"fold={f} requires batch divisible by {f}, got {b}")
-    return jnp.transpose(x.reshape(f, b // f, h, w, c), (1, 2, 3, 0, 4)).reshape(
+    return jnp.transpose(x.reshape(b // f, f, h, w, c), (0, 2, 3, 1, 4)).reshape(
         b // f, h, w, f * c
     )
 
@@ -105,7 +110,7 @@ def unfold_batch(x: jax.Array, f: int) -> jax.Array:
     """Inverse of fold_batch."""
     b, h, w, fc = x.shape
     c = fc // f
-    return jnp.transpose(x.reshape(b, h, w, f, c), (3, 0, 1, 2, 4)).reshape(
+    return jnp.transpose(x.reshape(b, h, w, f, c), (0, 3, 1, 2, 4)).reshape(
         b * f, h, w, c
     )
 

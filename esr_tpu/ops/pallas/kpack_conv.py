@@ -69,7 +69,7 @@ def kpack_conv3x3(x: jax.Array, kernel: jax.Array, rows_per_group: int = 16,
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
     if h % rows_per_group:
-        raise ValueError(f"H={h} must divide rows_per_group={rows_per_group}")
+        raise ValueError(f"rows_per_group={rows_per_group} must divide H={h}")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wm = kernel.reshape(9 * cin, cout).astype(x.dtype)
     return pl.pallas_call(

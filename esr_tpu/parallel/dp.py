@@ -18,7 +18,10 @@ __all__ = ["make_dp_train_step", "shard_batch", "replicate_states"]
 
 def _check_divisible(batch, n_data: int):
     for leaf in jax.tree.leaves(batch):
-        n = getattr(leaf, "shape", (None,))[0]
+        shape = getattr(leaf, "shape", None)
+        if not shape:  # scalars/0-d leaves have no batch dim to validate
+            continue
+        n = shape[0]
         if n is not None and n % n_data:
             raise ValueError(
                 f"batch dim {n} does not divide the {n_data}-device 'data' "

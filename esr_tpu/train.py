@@ -93,6 +93,8 @@ def main(argv=None) -> None:
     tlogger = Logger(opt)
     logger.info(f"training for {niter} iters (~{total_epochs} epochs)")
 
+    epoch = start_epoch  # bound even if the loop body never runs (stale
+    # resume state past niter) — the preemption save below references it
     for epoch in range(start_epoch, total_epochs + 1):
         for batch in train_loader:
             if current_step >= niter or preempted["flag"]:

@@ -29,6 +29,7 @@ class Logger:
                 self.tb = None
         self._csv_path = os.path.join(self.log_dir, "train_metrics.csv")
         self._csv_keys: list[str] | None = None
+        self._warned_dropped = False
 
     def log_scalars(self, step: int, epoch: int, lr: float, scalars: dict) -> None:
         msg = f"<epoch:{epoch:3d}, iter:{step:8,d}, lr:{lr:.3e}> " + " ".join(
@@ -47,6 +48,14 @@ class Logger:
             if not os.path.exists(self._csv_path) or os.path.getsize(self._csv_path) == 0:
                 with open(self._csv_path, "w", newline="") as f:
                     csv.DictWriter(f, fieldnames=self._csv_keys).writeheader()
+        dropped = set(row) - set(self._csv_keys)
+        if dropped and not self._warned_dropped:
+            self._warned_dropped = True
+            self._logger.warning(
+                "train_metrics.csv resume: existing header lacks new metric "
+                f"columns {sorted(dropped)} — they will not be recorded in "
+                "the CSV (start a fresh experiment dir to capture them)"
+            )
         with open(self._csv_path, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
             w.writerow(row)
