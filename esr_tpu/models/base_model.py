@@ -136,9 +136,14 @@ class BaseModel:
             # (SURVEY.md §5.3 TPU-native equivalent). One instance per model:
             # AsyncCheckpointer owns the worker thread.
             if not hasattr(self, "_async_ckptr"):
+                import atexit
+
                 self._async_ckptr = ocp.AsyncCheckpointer(
                     ocp.PyTreeCheckpointHandler()
                 )
+                # non-train call sites (scripts) may exit with a background
+                # write pending; make durability unconditional (ADVICE r2)
+                atexit.register(self._async_ckptr.wait_until_finished)
             return self._async_ckptr
         return ocp.PyTreeCheckpointer()
 
@@ -197,6 +202,13 @@ class BaseModel:
         from esr_tpu.models.networks import stack_rrdb_params
 
         nb = jax.tree.leaves(t["rrdb_scan"])[0].shape[0]
+        if f"rrdb{nb}" in r:
+            extra = sum(1 for k in r if k.startswith("rrdb") and k != "rrdb_scan")
+            raise ValueError(
+                f"checkpoint has {extra} rrdb blocks but the live model has "
+                f"nb={nb}; refusing to silently truncate — fix network_G.nb "
+                "or load the matching checkpoint"
+            )
         migrated = stack_rrdb_params(r, nb)
         r.clear()
         r.update(migrated)

@@ -121,17 +121,21 @@ def main(argv=None) -> None:
         if current_step >= niter or preempted["flag"]:
             break
 
-    signal.signal(signal.SIGTERM, prev_handler)
     if preempted["flag"]:
+        # keep the flag handler installed through the grace-period save: a
+        # second SIGTERM (clouds commonly repeat TERM before KILL) must not
+        # hit the default handler and kill us mid-write
         model.save("latest")
         model.save_training(epoch, current_step)
         model.wait_for_checkpoints()
+        signal.signal(signal.SIGTERM, prev_handler)
         logger.info(f"preempted (SIGTERM) — state saved @ iter {current_step}; "
                     "rerun with --auto_resume to continue")
         return
     model.save("latest")
     model.save_training(total_epochs, current_step)
     model.wait_for_checkpoints()
+    signal.signal(signal.SIGTERM, prev_handler)
     logger.info("training complete")
 
 

@@ -333,3 +333,27 @@ def test_unrolled_checkpoint_migrates_to_scan_layout(setup, tmp_path):
     y_scan = scanned.apply({"params": loaded}, x, z)
     y_unrolled = unrolled.apply({"params": pu}, x, z)
     np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_unrolled), atol=3e-5)
+
+
+def test_migration_refuses_block_count_mismatch(setup, tmp_path):
+    """Loading an unrolled checkpoint with MORE rrdb blocks than the live
+    scan model must error, not silently truncate (ADVICE r2)."""
+    import orbax.checkpoint as ocp
+    import pytest
+
+    from esr_tpu.models.base_model import BaseModel
+
+    kw = dict(nf=8, gc=4, scale=4, num_latent_channels=1,
+              latent_input="all_layers")
+    big = RRDBNet(scan_blocks=False, nb=3, **kw)
+    small = RRDBNet(scan_blocks=True, nb=2, **kw)
+    x = jnp.zeros((1, 8, 8, 3))
+    z = jnp.zeros((1, 8, 8, 1))
+    pu = big.init(jax.random.PRNGKey(3), x, z)["params"]
+    path = str(tmp_path / "big_G")
+    ocp.PyTreeCheckpointer().save(path, jax.device_get({"params": pu}))
+
+    tmpl = small.init(jax.random.PRNGKey(4), x, z)["params"]
+    bm = BaseModel({"path": {}})
+    with pytest.raises(ValueError, match="refusing to silently truncate"):
+        bm.load_network(path, tmpl)
