@@ -1,0 +1,176 @@
+"""Turn-key reference-parity evaluator — driver metric #3 (Set5 PSNR delta).
+
+The reference's released ``*_G.pth`` checkpoints are unobtainable in this
+offline environment (SURVEY.md §7 hard-part 3); this script makes the metric
+a ONE-COMMAND operation the moment assets appear::
+
+    python -m esr_tpu.scripts.parity_eval \
+        --pth /path/RRDB_PSNR_x4.pth --images /path/Set5/HR \
+        [--lr_images <dir>] [--out /root/repo/parity_set5.json]
+
+Protocol (reference ``codes/test.py`` semantics, SURVEY.md §2.2/§5.5): LR is
+synthesized with MATLAB-faithful bicubic (modcrop + imresize) unless paired
+``--lr_images`` are given; the generator runs in f32 (parity ops pin
+``Precision.HIGHEST``); PSNR/SSIM are computed in the uint8 domain on the Y
+channel after a border crop of ``scale`` pixels. The delta is vs the
+ESRGAN-paper Set5 anchor (32.70 dB for the PSNR-oriented RRDB — BASELINE.md)
+unless ``--anchor`` overrides.
+
+``bench.py`` picks up the written report automatically (``PARITY_REPORT``
+env var or the default repo-root path), so ``BENCH_r{N}.json`` stops
+carrying ``set5_psnr_delta: null`` as soon as this has been run.
+
+The Z-channel count of explorable checkpoints is auto-detected from the
+``conv_first`` input width (in_nc = 3 + num_latent_channels); explorable
+evals are run at Z=0 plus ``--num_random_z`` uniform draws.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+# ESRGAN paper (arXiv:1809.00219) Set5 anchor for the PSNR-oriented RRDB —
+# see BASELINE.md. The reference repo inherits this generator.
+ESRGAN_SET5_PSNR_ANCHOR = 32.70
+
+DEFAULT_REPORT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "parity_set5.json",
+)
+
+
+def run_parity_eval(
+    pth: str,
+    images: str,
+    lr_images: str | None = None,
+    scale: int = 4,
+    nb: int = 23,
+    nf: int = 64,
+    gc: int = 32,
+    use_cem: bool = False,
+    num_random_z: int = 0,
+    anchor: float = ESRGAN_SET5_PSNR_ANCHOR,
+    dataset_name: str = "Set5",
+    out: str = DEFAULT_REPORT,
+    save_images: str | None = None,
+) -> dict:
+    """Load a torch generator checkpoint, evaluate under the reference
+    protocol, and write/return the parity report."""
+    import numpy as np
+    import torch
+
+    from esr_tpu import data as data_mod
+    from esr_tpu.models.networks import load_rrdb_from_torch
+    from esr_tpu.models.sr_model import SRModel
+    from esr_tpu.test import evaluate_dataset
+
+    state = torch.load(pth, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    state = {k: np.asarray(v) for k, v in state.items()}
+    converted = load_rrdb_from_torch(state, nb=nb)
+
+    # explorable checkpoints carry Z channels in conv_first's input width
+    in_w = converted["params"]["conv_first"]["Conv_0"]["kernel"].shape[2]
+    nz = max(0, int(in_w) - 3)
+
+    opt = {
+        "model": "sr",
+        "is_train": False,
+        "scale": scale,
+        "use_cem": use_cem,
+        "bf16": False,  # f32 end to end: this is a parity measurement
+        "psnr_on_y": True,
+        "num_random_Z": num_random_z if nz else 0,
+        "network_G": {
+            "which_model_G": "RRDB_net",
+            "in_nc": 3,
+            "out_nc": 3,
+            "nf": nf,
+            "nb": nb,
+            "gc": gc,
+            "num_latent_channels": nz,
+            "fold": 1,
+        },
+        "path": {},
+        "datasets": None,
+        "train": None,
+    }
+    model = SRModel(opt)
+    # structure/dtype validation against the live template happens inside
+    # tree.map: a wrong --nb/--nf errors loudly here instead of mis-loading
+    import jax
+    import jax.numpy as jnp
+
+    params = jax.tree.map(
+        lambda t, r: jnp.asarray(r, t.dtype), model.state.params, converted["params"]
+    )
+    model.state = model.state.replace(params=params)
+
+    ds_opt = {
+        "name": dataset_name,
+        "phase": "test",
+        "mode": "LRHR",
+        "dataroot_HR": images,
+        "dataroot_LR": lr_images,
+        "scale": scale,
+    }
+    test_set = data_mod.create_dataset(ds_opt)
+    loader = data_mod.create_dataloader(test_set, ds_opt)
+    results = evaluate_dataset(model, loader, opt, save_dir=save_images)
+
+    psnr = results["psnr"]
+    report = {
+        "metric": "set5_psnr_delta",
+        "dataset": dataset_name,
+        "n_images": len(test_set),
+        "psnr": round(psnr, 4),
+        "ssim": round(results["ssim"], 4),
+        "anchor_psnr": anchor,
+        "set5_psnr_delta": round(psnr - anchor, 4),
+        "checkpoint": os.path.abspath(pth),
+        "num_latent_channels": nz,
+        "protocol": {
+            "domain": "uint8",
+            "y_channel": True,
+            "border_crop": scale,
+            "lr_source": "paired" if lr_images else "matlab_bicubic_onfly",
+            "precision": "f32",
+            "cem": use_cem,
+        },
+    }
+    for k in ("cem_residual", "z_psnr_mean", "z_psnr_spread", "z_diversity"):
+        if k in results:
+            report[k] = round(float(results[k]), 6)
+    if out:
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=1)
+            fh.write("\n")
+        report["report_path"] = os.path.abspath(out)
+    return report
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--pth", required=True, help="reference *_G.pth checkpoint")
+    parser.add_argument("--images", required=True, help="HR image dir (e.g. Set5/HR)")
+    parser.add_argument("--lr_images", default=None, help="paired LR dir (else on-the-fly bicubic)")
+    parser.add_argument("--scale", type=int, default=4)
+    parser.add_argument("--nb", type=int, default=23)
+    parser.add_argument("--nf", type=int, default=64)
+    parser.add_argument("--gc", type=int, default=32)
+    parser.add_argument("--use_cem", action="store_true")
+    parser.add_argument("--num_random_z", type=int, default=0)
+    parser.add_argument("--anchor", type=float, default=ESRGAN_SET5_PSNR_ANCHOR)
+    parser.add_argument("--dataset_name", default="Set5")
+    parser.add_argument("--out", default=DEFAULT_REPORT)
+    parser.add_argument("--save_images", default=None)
+    args = parser.parse_args(argv)
+    report = run_parity_eval(**vars(args))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

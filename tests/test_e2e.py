@@ -360,6 +360,95 @@ def test_preemption_sigterm_saves_and_resumes(tmp_path, image_dir):
     assert saved_iter + 2 in final, final
 
 
+def _torch_rrdb_state(nb, nf, gc, in_nc=3, seed=0):
+    """Synthetic new-style ESRGAN torch checkpoint (shapes only; random)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+
+    def conv(cin, cout):
+        return (
+            torch.randn(cout, cin, 3, 3, generator=g) * 0.05,
+            torch.randn(cout, generator=g) * 0.01,
+        )
+
+    sd = {}
+
+    def put(name, cin, cout):
+        w, b = conv(cin, cout)
+        sd[f"{name}.weight"], sd[f"{name}.bias"] = w, b
+
+    put("conv_first", in_nc, nf)
+    for i in range(nb):
+        for j in range(1, 4):
+            for k in range(1, 6):
+                cin = nf + (k - 1) * gc
+                put(f"RRDB_trunk.{i}.RDB{j}.conv{k}", cin, gc if k < 5 else nf)
+    put("trunk_conv", nf, nf)
+    put("upconv1", nf, nf)
+    put("upconv2", nf, nf)
+    put("HRconv", nf, nf)
+    put("conv_last", nf, 3)
+    return sd
+
+
+def test_parity_eval_dry_run(tmp_path, image_dir, monkeypatch):
+    """Driver metric #3 path: a synthetic torch .pth + synthetic mini-Set5
+    flow through parity_eval end-to-end, the report schema holds, and
+    bench.py picks the report up (VERDICT r2 missing #1)."""
+    import torch
+
+    from esr_tpu.scripts.parity_eval import run_parity_eval
+
+    pth = str(tmp_path / "synthetic_G.pth")
+    torch.save(_torch_rrdb_state(nb=2, nf=8, gc=4), pth)
+    out = str(tmp_path / "parity.json")
+    report = run_parity_eval(
+        pth, image_dir, nb=2, nf=8, gc=4, anchor=32.70, out=out,
+        dataset_name="mini-Set5",
+    )
+    assert report["metric"] == "set5_psnr_delta"
+    assert report["n_images"] == 3
+    assert np.isfinite(report["psnr"]) and np.isfinite(report["ssim"])
+    assert report["set5_psnr_delta"] == pytest.approx(report["psnr"] - 32.70, abs=1e-3)
+    assert report["num_latent_channels"] == 0
+    assert report["protocol"] == {
+        "domain": "uint8", "y_channel": True, "border_crop": 4,
+        "lr_source": "matlab_bicubic_onfly", "precision": "f32", "cem": False,
+    }
+    assert os.path.exists(out)
+
+    # bench.py must surface the measured delta instead of null
+    import bench
+
+    monkeypatch.setenv("PARITY_REPORT", out)
+    picked = bench.read_parity_report()
+    assert picked["set5_psnr_delta"] == report["set5_psnr_delta"]
+    assert "measured by parity_eval" in picked["set5_psnr_delta_status"]
+    monkeypatch.setenv("PARITY_REPORT", str(tmp_path / "missing.json"))
+    absent = bench.read_parity_report()
+    assert absent["set5_psnr_delta"] is None
+    assert "parity_eval ready" in absent["set5_psnr_delta_status"]
+
+
+def test_parity_eval_explorable_checkpoint(tmp_path, image_dir):
+    """An explorable checkpoint (conv_first width 3+nz) auto-detects its Z
+    channels and scores random draws + CEM residual."""
+    import torch
+
+    from esr_tpu.scripts.parity_eval import run_parity_eval
+
+    pth = str(tmp_path / "explorable_G.pth")
+    torch.save(_torch_rrdb_state(nb=1, nf=8, gc=4, in_nc=4), pth)
+    report = run_parity_eval(
+        pth, image_dir, nb=1, nf=8, gc=4, use_cem=True, num_random_z=2,
+        out=str(tmp_path / "p.json"), dataset_name="mini",
+    )
+    assert report["num_latent_channels"] == 1
+    assert report["cem_residual"] < 1e-5
+    assert "z_psnr_mean" in report and "z_diversity" in report
+
+
 def test_net_interp_script(tmp_path):
     """Network interpolation (ESRGAN net_interp recipe): orbax checkpoints
     blend leaf-wise; mismatched trees rejected."""
