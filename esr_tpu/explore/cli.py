@@ -12,6 +12,9 @@ Commands (one per line)::
     polygon y x y x ...       # HR-space polygon selection (>=3 vertices)
     clear                     # clear the selection
     variance +|-              # increase / decrease local variance
+    realism +|-               # push D realism score up / down (needs a D —
+                              # loaded from path.pretrain_model_D when set)
+    dscore                    # print the region's current D realism score
     brightness LEVEL          # 0..1 target mean
     smooth                    # TV smoothing
     periodicity PY PX         # encourage periodicity (pixels; 0 = off)
@@ -56,13 +59,34 @@ def build_session_from_opt(opt_path: str, lr_path: str):
     from esr_tpu.explore.session import ExplorationSession
 
     state = getattr(model, "g_state", None) or model.state
-    return ExplorationSession(
+    sess = ExplorationSession(
         forward,
         state.params,
         lr_img,
         num_latent_channels=model.nz or 1,
         scale=int(opt.get("scale") or 4),
     )
+
+    # attach a trained discriminator for the realism tool when available:
+    # in eval mode the model doesn't build a D, so load it directly from the
+    # pretrain_model_D artifact ({'params', 'batch_stats'})
+    d_state = getattr(model, "d_state", None)
+    net_d = opt.get("network_D") or {}
+    nf_d = int(net_d.get("nf") or 64)
+    norm_d = "batch" if (net_d.get("norm_type") or "batch") == "batch" else "none"
+    if d_state is not None:
+        sess.set_discriminator(
+            {"params": d_state.params, "batch_stats": d_state.batch_stats},
+            nf=nf_d,
+            norm=norm_d,
+        )
+    elif opt["path"].get("pretrain_model_D"):
+        # load the saved {'params','batch_stats'} artifact as-is (no shape
+        # template: the D's Dense head is sized by the training HR crop, and
+        # adversarial_objective infers that size from the checkpoint)
+        d_vars = model.load_network(opt["path"]["pretrain_model_D"])
+        sess.set_discriminator(d_vars, nf=nf_d, norm=norm_d)
+    return sess
 
 
 def _get_vm(sess):
@@ -112,6 +136,12 @@ def _dispatch(vm, cmd: str, args: list[str]) -> str:
         if not args or args[0] not in ("+", "-"):
             raise ValueError("usage: variance +|-")
         return vm.variance(+1 if args[0] == "+" else -1)
+    if cmd == "realism":
+        if not args or args[0] not in ("+", "-"):
+            raise ValueError("usage: realism +|-")
+        return vm.realism(+1 if args[0] == "+" else -1)
+    if cmd == "dscore":
+        return f"D realism score: {sess.d_score():+.4f}"
     if cmd == "brightness":
         return vm.brightness(float(args[0]))
     if cmd == "smooth":

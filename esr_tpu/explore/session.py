@@ -61,6 +61,7 @@ class ExplorationSession:
         self._mask: np.ndarray | None = None  # HR-space float mask
         self._box_lr: tuple | None = None
         self._sr_cache: np.ndarray | None = None
+        self._d_cfg: tuple | None = None  # (d_vars, nf, norm) for realism tool
 
     # -- region selection --------------------------------------------------
 
@@ -204,6 +205,42 @@ class ExplorationSession:
         """Transfer a target patch's intensity distribution to the region."""
         return self._run_tool(
             obj.histogram_objective(jnp.asarray(target_patch, jnp.float32))
+        )
+
+    def set_discriminator(self, d_vars: dict, nf: int = 64, norm: str = "batch") -> None:
+        """Attach a trained discriminator (the saved ``*_D`` artifact:
+        ``{'params', 'batch_stats'}``) enabling the realism tool."""
+        self._d_cfg = (d_vars, int(nf), norm)
+
+    def realism(self, direction: float = 1.0) -> np.ndarray:
+        """Push the region's D realism score up (direction>0) or down — the
+        reference's adversarial exploration tool (SURVEY.md §2.12)."""
+        if self._d_cfg is None:
+            raise ValueError(
+                "no discriminator attached — call set_discriminator() (e.g. "
+                "with the experiment's latest_D checkpoint / "
+                "path.pretrain_model_D) before using the realism tool"
+            )
+        d_vars, nf, norm = self._d_cfg
+        return self._run_tool(
+            obj.adversarial_objective(d_vars, float(direction), nf=nf, norm=norm)
+        )
+
+    def d_score(self) -> float:
+        """Mean D logit over the current SR within the selection (a realism
+        meter for the UI; higher = D finds it more real)."""
+        if self._d_cfg is None:
+            raise ValueError("no discriminator attached — call set_discriminator()")
+        d_vars, nf, norm = self._d_cfg
+        # direction=-1 makes the objective return +mean(logits)
+        objective = obj.adversarial_objective(d_vars, -1.0, nf=nf, norm=norm)
+        mask = self._mask if self._mask is not None else np.ones(self.hr_shape, np.float32)
+        # jit caches on objective.fn, which is lru_cached per D config — a
+        # repeated meter read is a dispatch, not a retrace
+        return float(
+            jax.jit(objective.fn)(
+                jnp.asarray(self.current_sr()), jnp.asarray(mask), objective.aux
+            )
         )
 
     def propose_alternatives(

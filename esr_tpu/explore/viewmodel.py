@@ -262,6 +262,17 @@ class EditorViewModel:
         losses = self.session.match_histogram(np.asarray(target_patch, np.float32))
         return self._set_status(f"histogram: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
 
+    def realism(self, direction: int) -> str:
+        """The adversarial exploration tool (SURVEY.md §2.12): push the
+        discriminator's realism score on the region up (+) or down (-).
+        Requires ``session.set_discriminator(...)`` first."""
+        losses = self.session.realism(+1.0 if direction > 0 else -1.0)
+        return self._set_status(
+            f"realism {'+' if direction > 0 else '-'}: "
+            f"loss {losses[0]:.4f} -> {losses[-1]:.4f} "
+            f"(D score {self.session.d_score():+.3f})"
+        )
+
     def imprint_image(self, target_hr: np.ndarray) -> str:
         """Imprint a desired HR image over the selected region. Accepts a
         full-HR-size image or a patch sized to the selection's bbox."""

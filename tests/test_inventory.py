@@ -44,6 +44,7 @@ INVENTORY = {
     "2.11 factory": ("esr_tpu.models", "create_model"),
     "2.12 Z optimizer": ("esr_tpu.explore.z_optimizer", "ZOptimizer"),
     "2.12 objectives": ("esr_tpu.explore.objectives", "periodicity_objective"),
+    "2.12 adversarial tool": ("esr_tpu.explore.objectives", "adversarial_objective"),
     "2.13 DP (DataParallel equiv)": ("esr_tpu.parallel.dp", "make_dp_train_step"),
     "2.14 PSNR": ("esr_tpu.ops.metrics", "calculate_psnr"),
     "2.14 SSIM": ("esr_tpu.ops.metrics", "calculate_ssim"),

@@ -157,6 +157,81 @@ def test_histogram_objective(setup):
     assert losses[-1] < losses[0]
 
 
+def test_realism_tool(setup):
+    """The adversarial exploration tool (SURVEY.md §2.12): realism(+1)
+    raises the D score, realism(-1) lowers it, and the edit stays exactly
+    CEM-consistent (VERDICT r2 next-step #3)."""
+    from esr_tpu.models.architecture import DiscriminatorVGG128
+
+    _, params, cem, forward, lr_img, _ = setup
+    d = DiscriminatorVGG128(nf=4)
+    d_vars = d.init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 3)), train=False)
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=6)
+    with pytest.raises(ValueError, match="set_discriminator"):
+        sess.realism()
+    sess.set_discriminator(d_vars, nf=4)
+    sess.select_rect(8, 8, 56, 56)
+    s0 = sess.d_score()
+    losses = sess.realism(+1.0)
+    assert float(losses[-1]) < float(losses[0])
+    assert sess.d_score() > s0
+    sr = jnp.asarray(sess.current_sr())
+    assert np.abs(np.asarray(cem.downsample(sr)) - sess.lr_img).max() < 1e-4
+    sess.undo()
+    sess.realism(-1.0)
+    assert sess.d_score() < s0
+
+
+def test_realism_region_mask_honored(setup):
+    """Z outside the bucketed crop stays untouched — the realism tool obeys
+    region semantics like every other tool (VERDICT r2 weak #2)."""
+    from esr_tpu.models.architecture import DiscriminatorVGG128
+
+    _, params, _, forward, _, _ = setup
+    lr_img = np.random.default_rng(7).random((1, 64, 64, 3)).astype(np.float32)
+    d = DiscriminatorVGG128(nf=4)
+    # D trained at a 32px HR crop (not 128): the objective must infer the
+    # trained input size from the Dense-head shape and resize crops to it
+    d_vars = d.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), train=False)
+    sess = ExplorationSession(forward, params, lr_img, n_steps=4)
+    sess.set_discriminator(d_vars, nf=4)
+    sess.select_rect(8, 8, 24, 24)  # 16px bucket crop, strict subregion
+    sess.realism(+1.0)
+    assert float(np.abs(sess.z[:, 20:, 20:]).max()) == 0.0
+    assert float(np.abs(sess.z).max()) > 0.0
+
+
+def test_adversarial_objective_fn_is_stable():
+    """Same D config -> identical fn object (lru_cache on static config, not
+    a bound apply method), so repeated tool clicks hit the jit cache."""
+    from esr_tpu.explore import adversarial_objective
+    from esr_tpu.models.architecture import DiscriminatorVGG128
+
+    d = DiscriminatorVGG128(nf=4)
+    v1 = d.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+    v2 = d.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 3)), train=False)
+    o1 = adversarial_objective(v1, +1.0, nf=4)
+    o2 = adversarial_objective(v2, -1.0, nf=4)
+    assert o1.fn is o2.fn
+
+
+def test_cli_realism_commands(setup):
+    """`realism +` / `dscore` drive the view-model path end-to-end."""
+    from esr_tpu.explore.cli import run_command
+    from esr_tpu.models.architecture import DiscriminatorVGG128
+
+    _, params, _, forward, lr_img, _ = setup
+    d = DiscriminatorVGG128(nf=4)
+    d_vars = d.init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 3)), train=False)
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=2)
+    assert "bad arguments" in run_command(sess, "realism")
+    out = run_command(sess, "realism +")  # no D attached yet
+    assert "set_discriminator" in out or "bad arguments" in out
+    sess.set_discriminator(d_vars, nf=4)
+    assert "D realism score" in run_command(sess, "dscore")
+    assert "realism +" in run_command(sess, "realism +")
+
+
 def test_z_lr_decay(setup):
     """Z-search LR scheduling (reference parity): decayed run still reduces
     the objective and stays consistent."""
