@@ -53,9 +53,8 @@ class ConvLRelu(nn.Module):
                 self.init_scale,
                 name="Conv_0",
             )()
-            kf = fold_kernel(k, self.fold)
             bf = jnp.tile(b, self.fold)
-            y = _conv_same(x.astype(self.dtype), kf.astype(self.dtype))
+            y = folded_conv(x.astype(self.dtype), k, self.fold)
             y = y + bf.astype(self.dtype)
             return lrelu(y) if self.act else y
         x = nn.Conv(
@@ -126,6 +125,84 @@ def fold_concat(a: jax.Array, b_: jax.Array, f: int) -> jax.Array:
         [a.reshape(n, h, w, f, ca), b_.reshape(n, h, w, f, cb)], axis=-1
     )
     return out.reshape(n, h, w, f * (ca + cb))
+
+
+def _unfold_parts(y: jax.Array, f: int, parts: tuple[int, ...]) -> jax.Array:
+    """Inverse of fold_batch for a PART-major folded tensor (fold_kernel's
+    output layout): (N/f,H,W,f*sum(parts)) -> (N,H,W,sum(parts))."""
+    segs = []
+    lo = 0
+    for p in parts:
+        segs.append(unfold_batch(y[..., lo : lo + f * p], f))
+        lo += f * p
+    return jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
+
+
+def folded_conv(
+    x: jax.Array, w: jax.Array, f: int, parts: tuple[int, ...] | None = None
+) -> jax.Array:
+    """stride-1 SAME conv of a folded input with the block-diagonal folded
+    kernel built from the UNFOLDED weight ``w`` (kh,kw,cin,cout).
+
+    Forward and dx run at folded width (the v5e MXU-lane win: f*cin/f*cout
+    lanes). FOLD_CUSTOM_VJP=True switches dW to a custom vjp at UNFOLDED
+    width — unfolding x and dy back to the batch dim sums the f
+    block-diagonal groups implicitly instead of materializing the f x wider
+    (structurally 3/4-zero) folded weight gradient.
+
+    MEASURED NEGATIVE (r3, same-session canary, flagship GAN step B16/128px
+    fold=2): dense folded dW 18.57 & 18.60 steps/s vs custom vjp 12.17
+    (0.65x). The f x dW FLOP saving is outweighed by (a) two extra HBM
+    round-trip transposes per conv in backward (unfold of x and dy — the
+    fold happens once at model entry, so no unfolded intermediate exists to
+    reuse) and (b) the unfolded backward-weight convs dropping back into the
+    lane-starved regime of the v5e conv-shape law (cout 32..192 vs 64..384).
+    XLA's dense folded backward stays the default; the vjp is kept as a
+    tested scaffold (gradient-exact) should a future layout make the unfold
+    free. VERDICT r2 next-step #4 closed on measurement.
+    """
+    if f == 1:
+        return _conv_same(x, w.astype(x.dtype))
+    if not FOLD_CUSTOM_VJP:  # default: XLA's dense folded-width backward
+        return _conv_same(x, fold_kernel(w, f, parts).astype(x.dtype))
+    return _folded_conv(x, w, int(f), tuple(parts) if parts else (w.shape[-1],))
+
+
+# measured choice, see folded_conv docstring: the dense folded backward beats
+# the unfolded-dW custom vjp 18.6 vs 12.2 steps/s on the flagship GAN step
+FOLD_CUSTOM_VJP = False
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _folded_conv(x, w, f, parts):
+    return _conv_same(x, fold_kernel(w, f, parts).astype(x.dtype))
+
+
+def _folded_conv_fwd(x, w, f, parts):
+    return _folded_conv(x, w, f, parts), (x, w)
+
+
+def _folded_conv_bwd(f, parts, res, dy):
+    x, w = res
+    # dx through the folded kernel: same block-diagonal structure as the
+    # forward, so it keeps the wide-lane win (the kernel rebuild is
+    # params-sized — negligible)
+    kf = fold_kernel(w, f, parts)
+    _, vjp_x = jax.vjp(lambda x_: _conv_same(x_, kf.astype(x_.dtype)), x)
+    (dx,) = vjp_x(dy)
+    # dW at unfolded width: one backward-weight conv over the ORIGINAL batch
+    # (f x fewer FLOPs than the folded-width dW XLA would emit)
+    x_unf = unfold_batch(x, f)
+    dy_unf = _unfold_parts(dy, f, parts)
+    _, vjp_w = jax.vjp(lambda w_: _conv_same(x_unf, w_.astype(x_unf.dtype)), w)
+    (dw,) = vjp_w(dy_unf)
+    return dx, dw
+
+
+_folded_conv.defvjp(_folded_conv_fwd, _folded_conv_bwd)
 
 
 def fold_kernel(w: jax.Array, f: int, parts: tuple[int, ...] | None = None):
@@ -213,20 +290,20 @@ class ResidualDenseBlock5C(nn.Module):
                     [ws[t][:, :, lo : lo + gc] for t in range(s, 5)], axis=-1
                 )
             )
-        if f > 1:
-            w_src = [
-                fold_kernel(w, f, parts=(gc,) * (4 - s) + (nf,))
-                for s, w in enumerate(w_src)
-            ]
+        # per-source parts of each packed kernel's cout split (UNfolded
+        # widths — folded_conv folds block-diagonally with PART-major outputs
+        # at apply time so the slice arithmetic below stays contiguous, and
+        # its custom vjp computes dW at these unfolded widths)
+        parts_src = [(gc,) * (4 - s) + (nf,) for s in range(5)]
         gc, nf = f * gc, f * nf  # folded slice widths
         x = x.astype(self.dtype)
-        y0 = _conv_same(x, w_src[0])  # (..., 4gc+nf): parts [x1|x2|x3|x4|x5]
+        y0 = folded_conv(x, w_src[0], f, parts_src[0])  # (..., 4gc+nf): [x1|x2|x3|x4|x5]
         x1 = lrelu(y0[..., :gc] + bs[0])
-        y1 = _conv_same(x1, w_src[1])  # (..., 3gc+nf): [x2|x3|x4|x5]
+        y1 = folded_conv(x1, w_src[1], f, parts_src[1])  # (..., 3gc+nf): [x2|x3|x4|x5]
         x2 = lrelu(y0[..., gc : 2 * gc] + y1[..., :gc] + bs[1])
-        y2 = _conv_same(x2, w_src[2])  # (..., 2gc+nf): [x3|x4|x5]
+        y2 = folded_conv(x2, w_src[2], f, parts_src[2])  # (..., 2gc+nf): [x3|x4|x5]
         x3 = lrelu(y0[..., 2 * gc : 3 * gc] + y1[..., gc : 2 * gc] + y2[..., :gc] + bs[2])
-        y3 = _conv_same(x3, w_src[3])  # (..., gc+nf): [x4|x5]
+        y3 = folded_conv(x3, w_src[3], f, parts_src[3])  # (..., gc+nf): [x4|x5]
         x4 = lrelu(
             y0[..., 3 * gc : 4 * gc]
             + y1[..., 2 * gc : 3 * gc]
@@ -234,7 +311,7 @@ class ResidualDenseBlock5C(nn.Module):
             + y3[..., :gc]
             + bs[3]
         )
-        y4 = _conv_same(x4, w_src[4])  # (..., nf): [x5]
+        y4 = folded_conv(x4, w_src[4], f, parts_src[4])  # (..., nf): [x5]
         x5 = (
             y0[..., 4 * gc :]
             + y1[..., 3 * gc :]

@@ -138,7 +138,11 @@ def test_fold2_matches_unfolded(latent):
 
 def test_fold2_gradients_match():
     """Grads through the folded apply equal the unfolded grads (training can
-    run folded)."""
+    run folded) — for BOTH folded backwards: XLA's dense folded-width dW
+    (the measured-faster default) and the unfolded-dW custom vjp scaffold
+    (kept gradient-exact; see blocks.folded_conv docstring)."""
+    from esr_tpu.models import blocks as blocks_mod
+
     kw = dict(nf=8, nb=1, gc=4, scale=4)
     base, folded = RRDBNet(fold=1, **kw), RRDBNet(fold=2, **kw)
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 6, 6, 3))
@@ -148,12 +152,20 @@ def test_fold2_gradients_match():
         return lambda params: jnp.sum(m.apply({"params": params}, x) ** 2)
 
     g0 = jax.grad(make_loss(base))(p)
-    g1 = jax.grad(make_loss(folded))(p)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                                atol=1e-4, rtol=1e-4),
-        g0, g1,
-    )
+    orig = blocks_mod.FOLD_CUSTOM_VJP
+    try:
+        for custom_vjp in (False, True):
+            blocks_mod.FOLD_CUSTOM_VJP = custom_vjp
+            # fresh trace each time (module-level toggle is read at trace time)
+            g1 = jax.grad(jax.jit(make_loss(folded)))(p)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4
+                ),
+                g0, g1,
+            )
+    finally:
+        blocks_mod.FOLD_CUSTOM_VJP = orig
 
 
 def test_discriminator_shapes():
