@@ -153,6 +153,8 @@ def launch(vm) -> None:
     for name, fn in [
         ("Var +", lambda: (vm.variance(+1), refresh())),
         ("Var -", lambda: (vm.variance(-1), refresh())),
+        ("Realism +", lambda: (vm.realism(+1), refresh())),
+        ("Realism -", lambda: (vm.realism(-1), refresh())),
         ("Smooth", lambda: (vm.smooth(), refresh())),
         ("Brightness", do_brightness),
         ("Periodicity", do_periodicity),
