@@ -116,7 +116,22 @@ class BaseModel:
         return self._visuals
 
     def get_current_losses(self) -> dict:
-        return {k: float(v) for k, v in self._losses.items()}
+        """Current step's metrics as host floats.
+
+        Packed fetch: per-scalar ``float(v)`` would pay one relay round trip
+        (~20 ms) per metric — ~240 ms per log line for the GAN step's 10
+        metrics (measured r3, PROGRESS_NOTES). Stack on device, fetch ONCE.
+        """
+        items = list(self._losses.items())
+        if not items:
+            return {}
+        try:
+            packed = np.asarray(
+                jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for _, v in items])
+            )
+            return {k: float(packed[i]) for i, (k, _) in enumerate(items)}
+        except (TypeError, ValueError):  # non-scalar/host values: plain path
+            return {k: float(v) for k, v in items}
 
     def update_learning_rate(self) -> None:
         """No-op: the LR schedule is compiled into the optimizer update."""
