@@ -132,6 +132,33 @@ def test_spatial_sharded_forward_rrdb_interior():
     assert err.mean() < 2e-3, err.mean()
 
 
+def test_spatial_halo_floor_flagship_depth():
+    """Guard for the measured r3 halo law (spatial.py docstring): at FLAGSHIP
+    depth (nb=23/nf=64) the interior error already hits its f32 floor
+    (~3e-5) by halo=8 — a regression here means the halo default needs
+    re-deriving."""
+    from esr_tpu.models.architecture import RRDBNet
+
+    model = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8, 1))
+    )["params"]
+
+    def apply_fn(p, lr, z):
+        return model.apply({"params": p}, lr, z)
+
+    mesh = make_mesh(8, spatial=4)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.random((1, 64, 32, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (1, 64, 32, 1)), jnp.float32)
+    full = jax.jit(apply_fn)(params, lr, z)
+    fwd = spatial_sharded_forward(apply_fn, mesh, scale=4, halo=8)
+    sharded = fwd(params, lr, z)
+    # exclude one edge strip top/bottom (zero-pad vs replicate-halo edges)
+    err = np.abs(np.asarray(sharded) - np.asarray(full))[:, 64:-64]
+    assert err.max() < 1e-4, err.max()
+
+
 def test_tiled_forward_matches_full():
     from esr_tpu.cem import CEMConf, make_cem
 
