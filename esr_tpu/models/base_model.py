@@ -32,7 +32,14 @@ __all__ = [
 ]
 
 
-def maybe_dp_step(step_fn, opt: dict, n_state_args: int, n_batch_args: int = 1, n_extra_args: int = 0):
+def maybe_dp_step(
+    step_fn,
+    opt: dict,
+    n_state_args: int,
+    n_batch_args: int = 1,
+    n_extra_args: int = 0,
+    batch_dim: int = 0,
+):
     """jit a pure train step; with >1 visible device shard the batch over a
     data mesh — the TPU version of the reference's AUTOMATIC nn.DataParallel
     wrap (SURVEY §2.13). Auto-enables like the reference: ``dist: false``
@@ -65,7 +72,8 @@ def maybe_dp_step(step_fn, opt: dict, n_state_args: int, n_batch_args: int = 1, 
         mesh = make_mesh(n_dev)
         return (
             make_dp_train_step(
-                step_fn, mesh, n_state_args, n_batch_args, n_extra_args
+                step_fn, mesh, n_state_args, n_batch_args, n_extra_args,
+                batch_dim=batch_dim,
             ),
             mesh,
         )
@@ -121,13 +129,17 @@ class BaseModel:
         Packed fetch: per-scalar ``float(v)`` would pay one relay round trip
         (~20 ms) per metric — ~240 ms per log line for the GAN step's 10
         metrics (measured r3, PROGRESS_NOTES). Stack on device, fetch ONCE.
+        Chunked dispatch (``optimize_parameters_chunk``) leaves (k,)-stacked
+        metrics; the LAST element is the current step's value.
         """
         items = list(self._losses.items())
         if not items:
             return {}
         try:
             packed = np.asarray(
-                jnp.stack([jnp.asarray(v, jnp.float32).reshape(()) for _, v in items])
+                jnp.stack(
+                    [jnp.asarray(v, jnp.float32).reshape(-1)[-1] for _, v in items]
+                )
             )
             return {k: float(packed[i]) for i, (k, _) in enumerate(items)}
         except (TypeError, ValueError):  # non-scalar/host values: plain path

@@ -20,7 +20,7 @@ from esr_tpu.models.base_model import BaseModel, TrainState, make_adam, multiste
 from esr_tpu.models.networks import define_G
 from esr_tpu.ops.metrics import psnr_jax
 
-__all__ = ["SRModel", "make_sr_train_step"]
+__all__ = ["SRModel", "make_sr_train_step", "make_sr_multi_step"]
 
 
 def make_sr_train_step(g_module, pipeline, pixel_criterion: str = "l1", pixel_weight: float = 1.0):
@@ -39,6 +39,28 @@ def make_sr_train_step(g_module, pipeline, pixel_criterion: str = "l1", pixel_we
         return state, metrics
 
     return train_step
+
+
+def make_sr_multi_step(step_fn):
+    """Chunked dispatch: ``lax.scan`` k train steps in ONE jitted program —
+    amortizes the ~8-20 ms per-program relay/dispatch latency (see
+    :func:`esr_tpu.models.srragan_model.make_gan_multi_step` for the full
+    rationale). rng per inner step is ``fold_in(base, absolute_step)``,
+    matching the per-step path bit-for-bit."""
+
+    def multi_step(state, hr_batches, rng_base, step0):
+        k = jax.tree.leaves(hr_batches)[0].shape[0]
+
+        def body(st, xs):
+            batch, step = xs
+            st, m = step_fn(st, batch, jax.random.fold_in(rng_base, step))
+            return st, m
+
+        steps = step0 + jnp.arange(k, dtype=jnp.int32)
+        state, metrics = jax.lax.scan(body, state, (hr_batches, steps))
+        return state, metrics
+
+    return multi_step
 
 
 class SRModel(BaseModel):
@@ -112,17 +134,19 @@ class SRModel(BaseModel):
         )
         from esr_tpu.models.base_model import maybe_dp_step
 
+        self._step_fn = make_sr_train_step(
+            self.g_module,
+            pipeline,
+            train_opt.get("pixel_criterion") or "l1",
+            float(train_opt.get("pixel_weight") or 1.0),
+        )
         self._train_step, self._mesh = maybe_dp_step(
-            make_sr_train_step(
-                self.g_module,
-                pipeline,
-                train_opt.get("pixel_criterion") or "l1",
-                float(train_opt.get("pixel_weight") or 1.0),
-            ),
+            self._step_fn,
             opt,
             n_state_args=1,
             n_extra_args=1,
         )
+        self._multi_step = None  # built lazily on first chunked call
         import logging
 
         from esr_tpu.models.networks import describe_network
@@ -159,6 +183,42 @@ class SRModel(BaseModel):
             self.state = replicate_states(self.state, self._mesh)
             self._placed = True
         self.state, metrics = self._train_step(self.state, batch, rng)
+        self._losses = metrics
+
+    def optimize_parameters_chunk(self, first_step: int, chunk: dict) -> None:
+        """Run ``k = chunk['HR'].shape[0]`` consecutive train steps in ONE
+        dispatch (see :func:`make_sr_multi_step`); trajectory-equivalent to
+        k ``feed_data``/``optimize_parameters`` calls."""
+        hr = np.asarray(chunk["HR"])
+        k = int(hr.shape[0])
+        if self._paired_lr:
+            if chunk.get("LR") is None:
+                raise ValueError(
+                    "dataroot_LR is configured (paired-LR training) but the "
+                    "chunk carries no LR array — check the dataset/loader"
+                )
+            batches = {"HR": hr, "LR": np.asarray(chunk["LR"])}
+        else:
+            batches = hr
+        if self._mesh is not None and not getattr(self, "_placed", False):
+            from esr_tpu.parallel.dp import replicate_states
+
+            self.state = replicate_states(self.state, self._mesh)
+            self._placed = True
+        if self._multi_step is None:
+            multi = make_sr_multi_step(self._step_fn)
+            if self._mesh is not None:
+                from esr_tpu.parallel.dp import make_dp_train_step
+
+                self._multi_step = make_dp_train_step(
+                    multi, self._mesh, n_state_args=1, n_extra_args=2, batch_dim=1
+                )
+            else:
+                self._multi_step = jax.jit(multi, donate_argnums=(0,))
+        self.step = first_step + k - 1
+        self.state, metrics = self._multi_step(
+            self.state, batches, self._rng, jnp.int32(first_step)
+        )
         self._losses = metrics
 
     def _make_batch(self):

@@ -16,12 +16,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_dp_train_step", "shard_batch", "replicate_states"]
 
 
-def _check_divisible(batch, n_data: int):
+def _check_divisible(batch, n_data: int, dim: int = 0):
     for leaf in jax.tree.leaves(batch):
         shape = getattr(leaf, "shape", None)
-        if not shape:  # scalars/0-d leaves have no batch dim to validate
+        if not shape or len(shape) <= dim:  # scalars have no batch dim
             continue
-        n = shape[0]
+        n = shape[dim]
         if n is not None and n % n_data:
             raise ValueError(
                 f"batch dim {n} does not divide the {n_data}-device 'data' "
@@ -49,16 +49,18 @@ def make_dp_train_step(
     n_batch_args: int = 1,
     n_extra_args: int = 0,
     donate: bool = True,
+    batch_dim: int = 0,
 ):
     """Wrap a pure ``train_step(*states, *batches, *extras) -> out`` for DP.
 
     States are replicated over the mesh, batch args sharded on the ``data``
-    axis (leading dim), extras (rng, step, ...) replicated. Shardings are
-    pytree prefixes, so each positional arg may itself be a pytree (e.g. a
-    TrainState or a batch dict).
+    axis along ``batch_dim`` (0 for a per-step batch; 1 for chunked multi-step
+    batches stacked (k, N, ...) — the step axis stays unsharded), extras
+    (rng, step, ...) replicated. Shardings are pytree prefixes, so each
+    positional arg may itself be a pytree (e.g. a TrainState or a batch dict).
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(*((None,) * batch_dim), "data"))
     shardings = (
         (repl,) * n_state_args + (data,) * n_batch_args + (repl,) * n_extra_args
     )
@@ -72,7 +74,7 @@ def make_dp_train_step(
     def step(*args):
         # clear error instead of an opaque XLA sharding failure
         for b in args[n_state_args : n_state_args + n_batch_args]:
-            _check_divisible(b, n_data)
+            _check_divisible(b, n_data, batch_dim)
         return jitted(*args)
 
     return step

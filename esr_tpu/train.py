@@ -24,6 +24,33 @@ import os
 import signal
 
 
+def chunk_limit(step: int, k: int, freqs, niter: int) -> int:
+    """Largest chunk length starting after ``step`` that does not cross an
+    event boundary (any multiple of a freq in ``freqs``) or ``niter`` — so
+    chunked dispatch keeps the per-step loop's exact print/val/save cadence.
+    Zero/None freqs are ignored."""
+    limit = niter - step
+    for f in freqs:
+        if f:
+            limit = min(limit, f - (step % f))
+    return max(1, min(k, limit))
+
+
+def stack_chunk(batches: list) -> dict:
+    """Stack a list of loader batch dicts along a new leading step axis;
+    non-array entries (path lists...) are collected into lists."""
+    import numpy as np
+
+    out = {}
+    for key in batches[0]:
+        vals = [b.get(key) for b in batches]
+        if all(isinstance(v, np.ndarray) for v in vals):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", required=True, help="path to options JSON")
@@ -89,20 +116,46 @@ def main(argv=None) -> None:
     val_freq = int(opt["train"].get("val_freq") or 5000)
     print_freq = int((opt["logger"] or {}).get("print_freq") or 100)
     save_freq = int((opt["logger"] or {}).get("save_checkpoint_freq") or 5000)
+    # chunked dispatch: scan k train steps inside one jitted program to
+    # amortize per-program dispatch latency (make_gan_multi_step). Chunks
+    # are capped at event boundaries so print/val/save cadence is EXACTLY
+    # the per-step loop's (pick freqs that are multiples of k to avoid
+    # extra compile shapes).
+    k_dispatch = int(opt["train"].get("steps_per_dispatch") or 1)
+    event_freqs = (print_freq, val_freq if val_loader is not None else 0, save_freq)
     total_epochs = max(1, math.ceil(niter / max(1, len(train_loader))))
     tlogger = Logger(opt)
     logger.info(f"training for {niter} iters (~{total_epochs} epochs)")
 
     epoch = start_epoch  # bound even if the loop body never runs (stale
     # resume state past niter) — the preemption save below references it
+    chunk = []  # pending batches; survives epoch boundaries (data only)
     for epoch in range(start_epoch, total_epochs + 1):
         for batch in train_loader:
             if current_step >= niter or preempted["flag"]:
                 break
-            current_step += 1
-            model.update_learning_rate()
-            model.feed_data(batch)
-            model.optimize_parameters(current_step)
+            if k_dispatch > 1:
+                chunk.append(batch)
+                if len(chunk) < chunk_limit(
+                    current_step, k_dispatch, event_freqs, niter
+                ):
+                    continue
+                if len(chunk) == 1:
+                    current_step += 1
+                    model.update_learning_rate()
+                    model.feed_data(chunk[0])
+                    model.optimize_parameters(current_step)
+                else:
+                    model.optimize_parameters_chunk(
+                        current_step + 1, stack_chunk(chunk)
+                    )
+                    current_step += len(chunk)
+                chunk = []
+            else:
+                current_step += 1
+                model.update_learning_rate()
+                model.feed_data(batch)
+                model.optimize_parameters(current_step)
 
             if current_step % print_freq == 0:
                 tlogger.log_scalars(

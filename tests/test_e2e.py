@@ -525,3 +525,51 @@ def test_net_interp_script(tmp_path):
     with pytest.raises(ValueError, match="different param trees"):
         interp_main(["--model_psnr", pa, "--model_gan", pbad, "--alpha", "0.5",
                      "--out", str(tmp_path / "nope")])
+
+
+def test_train_cli_chunked_dispatch(tmp_path, image_dir):
+    """steps_per_dispatch>1: event cadence (print/save) must match the
+    per-step loop exactly — chunks are capped at event boundaries."""
+    import csv
+
+    from esr_tpu.train import main as train_main
+
+    opt = {
+        "name": "e2e_chunked",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "datasets": {
+            "train": {
+                "name": "folder",
+                "mode": "LRHR",
+                "dataroot_HR": image_dir,
+                "HR_size": 32,
+                "batch_size": 2,
+                "use_shuffle": True,
+            },
+        },
+        "path": {"root": str(tmp_path)},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "train": {
+            "lr_G": 1e-3,
+            "niter": 7,
+            "manual_seed": 0,
+            "pixel_criterion": "l1",
+            "pixel_weight": 1.0,
+            "steps_per_dispatch": 3,
+        },
+        "logger": {"print_freq": 2, "save_checkpoint_freq": 7},
+    }
+    opt_path = tmp_path / "opt.json"
+    opt_path.write_text(json.dumps(opt))
+    train_main(["-opt", str(opt_path)])
+
+    exp = tmp_path / "experiments" / "e2e_chunked"
+    with open(exp / "train_metrics.csv") as f:
+        steps = [int(row["step"]) for row in csv.DictReader(f)]
+    assert steps == [2, 4, 6], steps  # exact per-step print cadence
+    models = os.listdir(exp / "models")
+    assert any(m.startswith("7_G") for m in models), models
+    states = os.listdir(exp / "training_state")
+    assert any(s.startswith("7.") for s in states), states

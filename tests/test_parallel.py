@@ -220,3 +220,50 @@ def test_spatial_sharded_forward_with_z():
     assert sharded.shape == full.shape
     err = np.abs(np.asarray(sharded) - np.asarray(full))[:, 32:-32]
     assert err.mean() < 5e-3
+
+
+def test_dp_chunked_multi_step_matches_single():
+    """Chunked dispatch (k steps scanned in one program) under 8-way DP
+    (batch_dim=1: the step axis stays unsharded, N shards over 'data')
+    matches the single-device chunked run."""
+    import optax
+
+    from esr_tpu.data.pipeline import make_train_pipeline
+    from esr_tpu.models.base_model import TrainState
+    from esr_tpu.models.sr_model import make_sr_multi_step, make_sr_train_step
+    from esr_tpu.parallel.dp import replicate_states
+
+    model, params = _tiny_setup()
+    pipeline = make_train_pipeline(scale=4)
+    multi = make_sr_multi_step(make_sr_train_step(model, pipeline))
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(1e-3)
+    )
+    hrs = np.random.default_rng(0).random((3, 8, 32, 32, 3)).astype(np.float32)
+    rng_base = jax.random.PRNGKey(5)
+
+    s1, m1 = jax.jit(multi)(state, hrs, rng_base, jnp.int32(1))
+
+    mesh = make_mesh(8)
+    dp_multi = make_dp_train_step(
+        multi, mesh, n_state_args=1, n_extra_args=2, batch_dim=1, donate=False
+    )
+    s2, m2 = dp_multi(replicate_states(state, mesh), hrs, rng_base, jnp.int32(1))
+
+    np.testing.assert_allclose(
+        np.asarray(m1["l_pix"]), np.asarray(m2["l_pix"]), rtol=1e-5
+    )
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-3)
+
+
+def test_dp_chunked_rejects_unshardable_inner_batch():
+    """batch_dim=1 validates the INNER batch dim (N), not the step axis."""
+    from esr_tpu.parallel.dp import _check_divisible
+
+    mesh = make_mesh(8)
+    good = np.zeros((3, 8, 4, 4, 3))  # k=3 (not divisible by 8) is fine
+    _check_divisible(good, mesh.shape["data"], dim=1)
+    bad = np.zeros((8, 3, 4, 4, 3))  # N=3 does not divide 8
+    with pytest.raises(ValueError, match="does not divide"):
+        _check_divisible(bad, mesh.shape["data"], dim=1)
