@@ -80,7 +80,7 @@ def bench_inference(batch: int = 16, lr_size: int = 128, iters: int = 12) -> dic
     return {"mp_per_s": hr_mp / dt, "sec_per_batch": dt, "cem_residual": residual}
 
 
-def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 5) -> dict:
+def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 30) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -124,11 +124,16 @@ def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 5) -> dict
     )
     hr = jnp.asarray(np.random.default_rng(1).random((batch, hr_size, hr_size, 3)), jnp.float32)
     g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(0))
-    jax.block_until_ready(metrics)
+    _ = float(metrics["l_g"])  # warmup + compile fence (host fetch)
+    # Steps are dependency-chained through the donated states; fence the
+    # timed region with a HOST FETCH of a final-step metric scalar —
+    # block_until_ready does not reliably fence on the relay (CLAUDE.md),
+    # and 5-iter runs under-measured by ~12% vs the real CLI loop (r3 A/B:
+    # bench 16.2 vs CLI-at-print_freq-20 18.4 steps/s, same session).
     t0 = time.perf_counter()
     for i in range(iters):
         g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(i + 1))
-    jax.block_until_ready(metrics)
+    _ = float(metrics["l_g"])
     dt = (time.perf_counter() - t0) / iters
     return {"train_steps_per_s": 1.0 / dt, "sec_per_step": dt}
 

@@ -246,10 +246,9 @@ class SRModel(BaseModel):
             if zz.ndim == 3:
                 zz = zz[None]
         sr = self._forward(self.state.params, lr, zz)
-        self._visuals = {
-            "SR": np.asarray(sr[0]),
-            "LR": np.asarray(lr[0]),
-        }
+        # keep SR/LR on device: the fetch (f32 or device-converted uint8)
+        # happens in get_current_visuals / get_visuals_uint8 on demand
+        self._visuals = {"SR": sr[0], "LR": lr[0]}
         if self._data.get("HR") is not None:
             hr = np.asarray(self._data["HR"])
             self._visuals["HR"] = hr[0] if hr.ndim == 4 else hr

@@ -417,7 +417,8 @@ class SRRaGANModel(BaseModel):
             if zz.ndim == 3:
                 zz = zz[None]
         sr = self._forward(self.g_state.params, lr, zz)
-        self._visuals = {"SR": np.asarray(sr[0]), "LR": np.asarray(lr[0])}
+        # device arrays: fetched on demand (see BaseModel.get_current_visuals)
+        self._visuals = {"SR": sr[0], "LR": lr[0]}
         if self._data.get("HR") is not None:
             hr = np.asarray(self._data["HR"])
             self._visuals["HR"] = hr[0] if hr.ndim == 4 else hr

@@ -192,7 +192,7 @@ def evaluate_dataset(
     """
     import jax.numpy as jnp
 
-    from esr_tpu.ops.color import tensor2img
+    from esr_tpu.ops.color import tensor2img, to_uint8_jax
 
     scale = int(opt.get("scale") or 4)
     only_y = bool(opt.get("psnr_on_y", True))
@@ -228,21 +228,27 @@ def evaluate_dataset(
         for zi, z in enumerate(z_draws):
             model.feed_data(sample)
             model.test(z=z) if nz else model.test()
-            vis = model.get_current_visuals()
+            # SR/LR stay on device: the CEM residual is computed there (no
+            # re-upload) and the image comes down as uint8, not f32 — the
+            # relay's 25 MB/s D2H trap (VERDICT r2 weak #9)
+            vis = model.get_visuals_device()
             residual = None
             if getattr(model, "cem", None) is not None:
                 # consistency for EVERY Z draw (the CEM guarantee is per-Z;
                 # measured pre-crop w.r.t. the padded LR actually fed)
-                lr_back = np.asarray(
-                    model.cem.downsample(jnp.asarray(vis["SR"])[None])
-                )[0]
-                residual = np.abs(lr_back - vis["LR"]).max()
+                sr_dev = jnp.asarray(vis["SR"], jnp.float32)[None]
+                lr_dev = jnp.asarray(vis["LR"], jnp.float32)[None]
+                residual = float(
+                    jnp.abs(model.cem.downsample(sr_dev) - lr_dev).max()
+                )
+            sr_img = np.asarray(to_uint8_jax(vis["SR"]))
+            if sr_img.ndim == 3 and sr_img.shape[-1] == 1:
+                sr_img = sr_img[..., 0]
             if orig_hw is not None:
-                vis = dict(vis)
-                vis["SR"] = vis["SR"][: orig_hw[0] * scale, : orig_hw[1] * scale]
-            hr_img = tensor2img(vis["HR"]) if "HR" in vis else None
+                sr_img = sr_img[: orig_hw[0] * scale, : orig_hw[1] * scale]
+            hr_img = tensor2img(np.asarray(vis["HR"])) if "HR" in vis else None
             scorer.add(
-                idx, zi, tensor2img(vis["SR"]), hr_img, residual,
+                idx, zi, sr_img, hr_img, residual,
                 sample.get("LR_path"), multi_z=len(z_draws) > 1,
             )
     return scorer.finalize()
@@ -262,7 +268,7 @@ def _evaluate_dataset_dist(
     import jax
     import jax.numpy as jnp
 
-    from esr_tpu.ops.color import tensor2img
+    from esr_tpu.ops.color import tensor2img, to_uint8_jax
     from esr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
     n_dev = len(jax.devices())
@@ -330,9 +336,13 @@ def _evaluate_dataset_dist(
                             axis=(1, 2, 3),
                         )
                     )
-                sr_host = np.asarray(sr)  # ONE batched D2H per device-batch
+                # ONE batched uint8 D2H per device-batch (uint8 converted on
+                # device: 4x fewer relay bytes than an f32 fetch)
+                sr_host = np.asarray(to_uint8_jax(sr))
                 for bi, (idx, lr_p, orig_hw, hr, lr_path, z_draws) in enumerate(chunk):
                     sr_i = sr_host[bi]
+                    if sr_i.ndim == 3 and sr_i.shape[-1] == 1:
+                        sr_i = sr_i[..., 0]
                     if orig_hw is not None:
                         sr_i = sr_i[: orig_hw[0] * scale, : orig_hw[1] * scale]
                     hr_img = None
@@ -340,7 +350,7 @@ def _evaluate_dataset_dist(
                         hr_arr = np.asarray(hr)
                         hr_img = tensor2img(hr_arr[0] if hr_arr.ndim == 4 else hr_arr)
                     scorer.add(
-                        idx, zi, tensor2img(sr_i), hr_img,
+                        idx, zi, sr_i, hr_img,
                         res_per_img[bi] if res_per_img is not None else None,
                         lr_path, multi_z=n_draws > 1,
                     )

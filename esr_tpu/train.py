@@ -198,7 +198,7 @@ def validate(model, val_loader, opt, step=None) -> dict:
     import numpy as np
 
     from esr_tpu.data.util import save_img
-    from esr_tpu.ops.color import rgb2ycbcr, tensor2img
+    from esr_tpu.ops.color import rgb2ycbcr
     from esr_tpu.ops.metrics import calculate_psnr, crop_border
 
     scale = int(opt.get("scale") or 4)
@@ -209,14 +209,16 @@ def validate(model, val_loader, opt, step=None) -> dict:
         sample = {k: (v[0] if isinstance(v, (np.ndarray, list)) else v) for k, v in batch.items()}
         model.feed_data(sample)
         model.test()
-        vis = model.get_current_visuals()
-        sr_img = tensor2img(vis["SR"])
+        # uint8 conversion happens on device; one uint8 fetch per image
+        # instead of f32 (the relay's 25 MB/s D2H trap)
+        vis = model.get_visuals_uint8()
+        sr_img = vis["SR"]
         if val_dir:
             base = os.path.splitext(os.path.basename(str(sample.get("HR_path") or i)))[0]
             save_img(sr_img, os.path.join(val_dir, base, f"{base}_{step}.png"))
         if "HR" not in vis:
             continue
-        hr_img = tensor2img(vis["HR"])
+        hr_img = vis["HR"]  # already uint8 via get_visuals_uint8
         a, b = sr_img, hr_img
         if on_y and a.ndim == 3 and a.shape[2] == 3:
             a, b = rgb2ycbcr(a, only_y=True), rgb2ycbcr(b, only_y=True)

@@ -104,3 +104,21 @@ def test_img2tensor():
     assert t.dtype == np.float32 and t.max() <= 1.0
     g = np.zeros((4, 4), dtype=np.float32)
     assert img2tensor(g).shape == (4, 4, 1)
+
+
+def test_to_uint8_jax_matches_tensor2img():
+    """Device-side uint8 conversion (to_uint8_jax) must be bit-identical to
+    the host tensor2img it replaces in the eval fetch path (VERDICT r2
+    weak #9): same clip, same round-half-to-even, same cast."""
+    from esr_tpu.ops.color import to_uint8_jax
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.3, 1.3, (33, 17, 3)).astype(np.float32)
+    # seed exact rounding boundaries (k+0.5)/255 to pin half-to-even parity
+    x.ravel()[:256] = (np.arange(256) + 0.5) / 255.0
+    np.testing.assert_array_equal(np.asarray(to_uint8_jax(x)), tensor2img(x))
+    # custom min_max window
+    np.testing.assert_array_equal(
+        np.asarray(to_uint8_jax(x, min_max=(-1.0, 1.0))),
+        tensor2img(x, min_max=(-1.0, 1.0)),
+    )
