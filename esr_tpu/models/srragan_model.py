@@ -320,15 +320,6 @@ class SRRaGANModel(BaseModel):
         self._forward = jax.jit(self._make_forward())
         self._data: dict = {}
 
-    def _make_forward(self):
-        def fwd(params, lr, z):
-            raw = self.g_module.apply({"params": params}, lr, z)
-            if self.cem is not None:
-                raw = self.cem.project(raw, lr)
-            return raw
-
-        return fwd
-
     # -- reference API ----------------------------------------------------
 
     def feed_data(self, data: dict) -> None:

@@ -1,3 +1,7 @@
 from esr_tpu.parallel.mesh import make_mesh, replicated, batch_sharding
 from esr_tpu.parallel.dp import make_dp_train_step, shard_batch
-from esr_tpu.parallel.spatial import spatial_sharded_forward, tiled_forward
+from esr_tpu.parallel.spatial import (
+    spatial_fold_apply,
+    spatial_sharded_forward,
+    tiled_forward,
+)

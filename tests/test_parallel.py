@@ -267,3 +267,52 @@ def test_dp_chunked_rejects_unshardable_inner_batch():
     bad = np.zeros((8, 3, 4, 4, 3))  # N=3 does not divide 8
     with pytest.raises(ValueError, match="does not divide"):
         _check_divisible(bad, mesh.shape["data"], dim=1)
+
+
+def test_spatial_fold_apply_matches_whole():
+    """spatial_fold_apply (single-device H-strip batching that re-enables
+    the batch->channel fold for batch-1 eval) matches the whole-image
+    unfolded forward: strip windows are clipped to the true image (edge
+    conv semantics preserved) and the halo covers the residual decay."""
+    from esr_tpu.parallel import spatial_fold_apply
+
+    kw = dict(nf=16, nb=2, gc=8, scale=4, num_latent_channels=1)
+    folded = RRDBNet(fold=2, **kw)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 48, 3)), jnp.float32)
+    z = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 64, 48, 1)), jnp.float32)
+    params = RRDBNet(**kw).init(jax.random.PRNGKey(0), x, z)["params"]
+
+    def apply_raw(p, lr, zz):
+        return folded.apply({"params": p}, lr, zz)
+
+    whole = apply_raw(params, x, z)  # batch 1 -> runs unfolded
+    wrapped = spatial_fold_apply(apply_raw, fold=2, halo=12, scale=4)
+    split = wrapped(params, x, z)  # 2 strips -> actually folded
+    assert split.shape == whole.shape
+    np.testing.assert_allclose(np.asarray(split), np.asarray(whole), atol=1e-4)
+
+    # odd H: windows clip, crops stay exact
+    x_odd, z_odd = x[:, :50], z[:, :50]
+    split_odd = wrapped(params, x_odd, z_odd)
+    whole_odd = apply_raw(params, x_odd, z_odd)
+    assert split_odd.shape == whole_odd.shape
+    np.testing.assert_allclose(np.asarray(split_odd), np.asarray(whole_odd), atol=1e-4)
+
+    # divisible batches / too-short images pass through untouched (no split)
+    x2 = jnp.concatenate([x, x], 0)
+    z2 = jnp.concatenate([z, z], 0)
+    np.testing.assert_array_equal(
+        np.asarray(wrapped(params, x2, z2)), np.asarray(apply_raw(params, x2, z2))
+    )
+    tiny = x[:, :20]
+    np.testing.assert_array_equal(
+        np.asarray(wrapped(params, tiny, z[:, :20])),
+        np.asarray(apply_raw(params, tiny, z[:, :20])),
+    )
+
+    # z=None path (explorable model, default zero latent)
+    np.testing.assert_allclose(
+        np.asarray(wrapped(params, x, None)),
+        np.asarray(apply_raw(params, x, None)),
+        atol=1e-4,
+    )

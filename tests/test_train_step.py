@@ -667,3 +667,33 @@ def test_visuals_device_and_uint8_paths(tmp_path):
     np.testing.assert_array_equal(u8["SR"], tensor2img(vis["SR"]))
     np.testing.assert_array_equal(u8["HR"], tensor2img(vis["HR"]))
     assert u8["SR"].dtype == np.uint8 and u8["SR"].shape == (32, 32, 3)
+
+
+def test_eval_spatial_fold_default_and_optout(tmp_path):
+    """With network_G.fold>1, batch-1 test() auto-splits the image into fold
+    H-strips so the MXU fold stays active (BaseModel._make_forward /
+    spatial_fold_apply); eval_spatial_fold:false opts back into the plain
+    unfolded forward. Outputs agree to the halo floor."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt["network_G"]["fold"] = 2
+    opt["eval_spatial_fold_halo"] = 12
+    lr = np.random.default_rng(3).random((48, 40, 3)).astype(np.float32)
+
+    model = create_model(opt)
+    model.feed_data({"LR": lr})
+    model.test()
+    sr_split = np.asarray(model.get_visuals_device()["SR"])
+
+    opt2 = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt2["network_G"]["fold"] = 2
+    opt2["eval_spatial_fold"] = False
+    model2 = create_model(opt2)
+    # same init seed -> same params
+    model2.feed_data({"LR": lr})
+    model2.test()
+    sr_plain = np.asarray(model2.get_visuals_device()["SR"])
+
+    assert sr_split.shape == sr_plain.shape == (192, 160, 3)
+    np.testing.assert_allclose(sr_split, sr_plain, atol=1e-4)
