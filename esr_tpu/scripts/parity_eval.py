@@ -66,6 +66,15 @@ def run_parity_eval(
     from esr_tpu.models.sr_model import SRModel
     from esr_tpu.test import evaluate_dataset
 
+    import jax as _jax
+
+    # Oracle-grade numerics: TPU lowers DEFAULT-precision f32 convs to bf16
+    # MXU passes, which at flagship depth leaves a measured ~25-28 dB noise
+    # band vs a true-f32 oracle (docs/PERFORMANCE.md "bf16 noise floor") —
+    # far too coarse for a 0.05 dB parity target. HIGHEST forces full-f32
+    # MXU passes; measured to match the CPU-f32 oracle to float error.
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
     state = torch.load(pth, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]

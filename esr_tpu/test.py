@@ -39,6 +39,17 @@ def main(argv=None) -> None:
     from esr_tpu.utils import mkdirs, setup_logger
 
     opt = options_mod.parse(args.opt, is_train=False)
+    if opt.get("eval_precision"):
+        # "highest" -> full-f32 MXU passes for default-precision convs/dots.
+        # TPU lowers f32 DEFAULT precision to bf16 passes, a measured ~25-28
+        # dB noise band vs a true-f32 oracle at flagship depth (docs/
+        # PERFORMANCE.md) — set this (with "bf16": false) when eval numbers
+        # must be reproducible to float error, e.g. PSNR parity studies.
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_default_matmul_precision", str(opt["eval_precision"])
+        )
     mkdirs([opt["path"]["results_root"], opt["path"]["log"]])
     setup_logger("base", opt["path"]["log"], "test", screen=True)
     logger = logging.getLogger("base")
@@ -305,11 +316,18 @@ def _evaluate_dataset_dist(
     for it in items:
         by_shape.setdefault(it[1].shape, []).append(it)
 
+    # with a folded generator, feed `fold` images PER DEVICE so the
+    # batch->channel fold groups shard-locally (adjacent images on one
+    # device — the r2 shard-local fold grouping; no cross-device permutes)
+    g_mod = getattr(model, "g_module", None)
+    per_dev = max(1, int(getattr(g_mod, "fold", 1) or 1))
+    chunk_n = n_dev * per_dev
+
     for shape, group in by_shape.items():
-        for lo in range(0, len(group), n_dev):
-            chunk = group[lo : lo + n_dev]
+        for lo in range(0, len(group), chunk_n):
+            chunk = group[lo : lo + chunk_n]
             k = len(chunk)
-            pad_n = n_dev - k  # repeat last image so the batch shards evenly
+            pad_n = chunk_n - k  # repeat last image so the batch shards evenly
             lr = np.stack([c[1] for c in chunk] + [chunk[-1][1]] * pad_n)
             lr_d = jax.device_put(jnp.asarray(lr), shard)
             n_draws = len(chunk[0][5])

@@ -288,9 +288,12 @@ def test_multi_z_eval_scoring(tmp_path, image_dir, caplog):
     assert results["z_diversity_textured"] > 0
 
 
-def test_dist_eval_matches_serial(tmp_path, image_dir):
+@pytest.mark.parametrize("fold", [1, 2])
+def test_dist_eval_matches_serial(tmp_path, image_dir, fold):
     """Sharded eval (data-axis batches over the 8-device CPU mesh) produces
-    IDENTICAL metrics to the serial loop (VERDICT r2 next-step #7)."""
+    IDENTICAL metrics to the serial loop (VERDICT r2 next-step #7). With a
+    folded generator the dist path feeds `fold` images per device (shard-
+    local fold grouping) — metrics agree to f32 fold-equivalence level."""
     from esr_tpu.models import create_model
     from esr_tpu.options import parse
     from esr_tpu.test import evaluate_dataset
@@ -315,6 +318,7 @@ def test_dist_eval_matches_serial(tmp_path, image_dir):
                 "nb": 1,
                 "gc": 4,
                 "num_latent_channels": 1,
+                "fold": fold,
             },
         },
         is_train=False,
@@ -327,8 +331,12 @@ def test_dist_eval_matches_serial(tmp_path, image_dir):
 
     serial = evaluate_dataset(model, fresh_loader(), opt, dist=False)
     sharded = evaluate_dataset(model, fresh_loader(), opt, dist=True)
+    # fold=1: bit-identical. fold=2: serial runs unfolded (bucket 8 images
+    # are too short to strip-split), dist folds over 2-per-device batches —
+    # equal to f32 fold-equivalence (uint8 rounding may flip a pixel).
+    atol = 1e-9 if fold == 1 else 1e-3
     for k in serial:
-        assert np.isclose(sharded[k], serial[k], rtol=0, atol=1e-9), (
+        assert np.isclose(sharded[k], serial[k], rtol=0, atol=atol), (
             k, serial[k], sharded[k],
         )
 
