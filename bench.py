@@ -80,6 +80,47 @@ def bench_inference(batch: int = 16, lr_size: int = 128, iters: int = 12) -> dic
     return {"mp_per_s": hr_mp / dt, "sec_per_batch": dt, "cem_residual": residual}
 
 
+def bench_single_image(h: int = 336, w: int = 504, iters: int = 6) -> dict:
+    """Single-image (batch-1) eval regime at DIV2K-val LR scale — the
+    reference test loop's shape. Uses the production spatial-fold path
+    (each image split into `fold` halo-overlapped H-strips so the MXU fold
+    stays active; docs/PERFORMANCE.md 'Spatial-fold eval')."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.cem import CEMConf, make_cem
+    from esr_tpu.models.architecture import RRDBNet
+    from esr_tpu.parallel import spatial_fold_apply
+
+    fold = int(os.environ.get("BENCH_FOLD", 2))
+    model = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1,
+                    fold=fold, dtype=jnp.bfloat16)
+    cem = make_cem(CEMConf(scale=4))
+    params = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8, 1))
+    )["params"]
+    lr0 = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3)), jnp.float32)
+    z = jnp.zeros((1, h, w, 1), jnp.float32)
+    apply_raw = lambda p, x, zz: model.apply({"params": p}, x, zz)  # noqa: E731
+    wrapped = (
+        spatial_fold_apply(apply_raw, fold, halo=32, scale=4) if fold > 1 else apply_raw
+    )
+
+    @jax.jit
+    def chained(params, lr_img, zz):
+        out = cem.project(wrapped(params, lr_img, zz), lr_img)
+        return lr_img + jnp.mean(out) * 1e-9
+
+    lr_img = chained(params, lr0, z)
+    float(lr_img[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lr_img = chained(params, lr_img, z)
+    float(lr_img[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    return {"single_image_mp_per_s": h * w * 16 / 1e6 / dt}
+
+
 def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 30) -> dict:
     import jax
     import jax.numpy as jnp
@@ -182,6 +223,13 @@ def main() -> None:
         "cem_consistency_max_err": result["cem_residual"],
         **read_parity_report(),
     }
+    if os.environ.get("BENCH_SINGLE", "1") != "0":
+        # batch-1 DIV2K-scale eval via the spatial-fold path; never let a
+        # secondary bench failure swallow the primary metric line
+        try:
+            extra.update(bench_single_image())
+        except Exception as e:  # noqa: BLE001
+            extra["single_image_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         # full ESRGAN/explorable GAN step (DIV2K regime: batch 16, 128px
         # crops, pixel+VGG+RaGAN+range+map losses, CEM, D BN updates);
