@@ -222,6 +222,11 @@ def evaluate_dataset(
     scorer = _EvalScorer(only_y, scale, save_dir)
     rng = np.random.default_rng(0)
 
+    # NOTE on a measured negative (r3): a one-deep software pipeline
+    # (copy_to_host_async the uint8 SR, flush while the next image computes)
+    # was built and benched at DIV2K scale — 766 vs 683 ms/image SLOWER.
+    # The axon relay serializes RPCs, so the async copy can't overlap the
+    # next dispatch and only adds round-trips. Keep the loop synchronous.
     for idx, batch in enumerate(loader):
         sample = {
             k: (v[0] if isinstance(v, (np.ndarray, list)) else v) for k, v in batch.items()
