@@ -214,10 +214,16 @@ def evaluate_dataset(
     bucket = int(opt.get("eval_pad_bucket") or 0)
     nz = getattr(model, "nz", 0)
     use_dist = bool(opt.get("dist_eval")) if dist is None else bool(dist)
-    if use_dist:
+    # eval_batch > 1: batch same-bucket images per device (works on a single
+    # chip too — batched eval is occupancy-bound, same physics as training
+    # batches; docs/PERFORMANCE.md "batched eval"). Routed through the
+    # sharded evaluator, which already groups images by padded shape.
+    eval_batch = int(opt.get("eval_batch") or 0)
+    if use_dist or eval_batch > 1:
         return _evaluate_dataset_dist(
             model, loader, scale=scale, only_y=only_y, num_z=num_z,
             bucket=bucket, nz=nz, save_dir=save_dir, gpu_ids=opt.get("gpu_ids"),
+            per_dev_batch=max(1, eval_batch),
         )
     scorer = _EvalScorer(only_y, scale, save_dir)
     rng = np.random.default_rng(0)
@@ -271,10 +277,14 @@ def evaluate_dataset(
 
 
 def _evaluate_dataset_dist(
-    model, loader, *, scale, only_y, num_z, bucket, nz, save_dir, gpu_ids=None
+    model, loader, *, scale, only_y, num_z, bucket, nz, save_dir, gpu_ids=None,
+    per_dev_batch: int = 1,
 ):
-    """Sharded evaluator: group pad-bucketed images by shape, batch one image
-    per device along the ``data`` axis, score on host via the same scorer.
+    """Sharded/batched evaluator: group pad-bucketed images by shape, batch
+    ``per_dev_batch`` images per device along the ``data`` axis, score on
+    host via the same scorer. Also serves single-chip batched eval
+    (``eval_batch`` opt) — eval throughput is occupancy-bound exactly like
+    training, so batching same-bucket images recovers the batch-16 regime.
 
     The rng draw sequence matches the serial path exactly (per image in
     loader order), so metrics are identical, not merely close. D2H is one
@@ -321,11 +331,14 @@ def _evaluate_dataset_dist(
     for it in items:
         by_shape.setdefault(it[1].shape, []).append(it)
 
-    # with a folded generator, feed `fold` images PER DEVICE so the
-    # batch->channel fold groups shard-locally (adjacent images on one
-    # device — the r2 shard-local fold grouping; no cross-device permutes)
+    # feed per_dev_batch images PER DEVICE, rounded up to a multiple of the
+    # generator's fold so the batch->channel fold groups shard-locally
+    # (adjacent images on one device — the r2 shard-local fold grouping;
+    # no cross-device permutes)
     g_mod = getattr(model, "g_module", None)
-    per_dev = max(1, int(getattr(g_mod, "fold", 1) or 1))
+    fold = max(1, int(getattr(g_mod, "fold", 1) or 1))
+    per_dev = max(1, int(per_dev_batch))
+    per_dev = -(-per_dev // fold) * fold
     chunk_n = n_dev * per_dev
 
     for shape, group in by_shape.items():

@@ -339,6 +339,15 @@ def test_dist_eval_matches_serial(tmp_path, image_dir, fold):
         assert np.isclose(sharded[k], serial[k], rtol=0, atol=atol), (
             k, serial[k], sharded[k],
         )
+    # single-chip batched eval (eval_batch): same metrics again, via the
+    # same evaluator restricted to one device
+    opt["gpu_ids"] = [0]
+    opt["eval_batch"] = 3
+    batched = evaluate_dataset(model, fresh_loader(), opt)
+    for k in serial:
+        assert np.isclose(batched[k], serial[k], rtol=0, atol=atol), (
+            k, serial[k], batched[k],
+        )
 
 
 def test_parallel_validation_errors():
