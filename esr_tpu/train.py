@@ -123,6 +123,16 @@ def main(argv=None) -> None:
     # extra compile shapes).
     k_dispatch = int(opt["train"].get("steps_per_dispatch") or 1)
     event_freqs = (print_freq, val_freq if val_loader is not None else 0, save_freq)
+    if len(train_loader) == 0:
+        # drop_last with batch_size > dataset size yields ZERO batches per
+        # epoch — without this guard training "completes" instantly with no
+        # steps (found the silent way: an 8-image set at batch 16)
+        n_img = len(getattr(train_loader, "dataset", []) or [])
+        bsz = getattr(train_loader, "batch_size", "?")
+        raise ValueError(
+            f"train loader yields 0 batches: dataset has {n_img} images but "
+            f"batch_size is {bsz} (drop_last) — shrink batch_size or add data"
+        )
     total_epochs = max(1, math.ceil(niter / max(1, len(train_loader))))
     tlogger = Logger(opt)
     logger.info(f"training for {niter} iters (~{total_epochs} epochs)")

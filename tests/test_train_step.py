@@ -697,3 +697,21 @@ def test_eval_spatial_fold_default_and_optout(tmp_path):
 
     assert sr_split.shape == sr_plain.shape == (192, 160, 3)
     np.testing.assert_allclose(sr_split, sr_plain, atol=1e-4)
+
+
+def test_train_errors_on_zero_batch_loader(tmp_path):
+    """batch_size > dataset size (drop_last) must error loudly instead of
+    'completing' a zero-step run (found via an 8-image set at batch 16)."""
+    import json
+
+    import pytest
+
+    from esr_tpu.train import main as train_main
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["datasets"]["train"]["batch_size"] = 16
+    opt["datasets"]["train"]["n_images"] = 4
+    opt_path = tmp_path / "zero_batch.json"
+    opt_path.write_text(json.dumps(opt))
+    with pytest.raises(ValueError, match="0 batches"):
+        train_main(["-opt", str(opt_path)])
