@@ -228,20 +228,32 @@ class ExplorationSession:
 
     def d_score(self) -> float:
         """Mean D logit over the current SR within the selection (a realism
-        meter for the UI; higher = D finds it more real)."""
+        meter for the UI; higher = D finds it more real).
+
+        The meter scores the REGION: like the realism tool's search, the SR
+        is cropped to the selection's bucketed bbox before D sees it (the
+        objective's mask only gates gradients, it cannot change the value —
+        so without the crop the meter would silently report the whole-image
+        score for any selection)."""
         if self._d_cfg is None:
             raise ValueError("no discriminator attached — call set_discriminator()")
         d_vars, nf, norm = self._d_cfg
         # direction=-1 makes the objective return +mean(logits)
         objective = obj.adversarial_objective(d_vars, -1.0, nf=nf, norm=norm)
         mask = self._mask if self._mask is not None else np.ones(self.hr_shape, np.float32)
+        sr = jnp.asarray(self.current_sr())
+        mask_j = jnp.asarray(mask)
+        if self._box_lr is not None:
+            from esr_tpu.explore.z_optimizer import bucket_crop
+
+            h, w = self.lr_img.shape[1:3]
+            y, x, size = bucket_crop(self._box_lr, h, w, self.scale)
+            s = self.scale
+            sr = sr[:, y * s : (y + size) * s, x * s : (x + size) * s]
+            mask_j = mask_j[y * s : (y + size) * s, x * s : (x + size) * s]
         # jit caches on objective.fn, which is lru_cached per D config — a
-        # repeated meter read is a dispatch, not a retrace
-        return float(
-            jax.jit(objective.fn)(
-                jnp.asarray(self.current_sr()), jnp.asarray(mask), objective.aux
-            )
-        )
+        # repeated meter read (per crop bucket) is a dispatch, not a retrace
+        return float(jax.jit(objective.fn)(sr, mask_j, objective.aux))
 
     def propose_alternatives(
         self, k: int = 3, seed: int = 0, candidate_cb=None

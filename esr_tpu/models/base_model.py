@@ -100,6 +100,32 @@ def make_adam(schedule, beta1: float = 0.9, beta2: float = 0.999, grad_clip: flo
     return tx
 
 
+# live AsyncCheckpointers, drained once at interpreter exit (weak refs: a
+# collected model's checkpointer need not outlive it just because it was
+# registered for the durability flush)
+_live_async_ckptrs: "weakref.WeakSet" = None  # initialized below
+
+
+def _flush_async_ckptrs() -> None:
+    for ck in list(_live_async_ckptrs or ()):
+        try:
+            ck.wait_until_finished()
+        except Exception:  # noqa: BLE001 — best-effort at interpreter exit
+            pass
+
+
+def _init_ckptr_registry() -> None:
+    global _live_async_ckptrs
+    import atexit
+    import weakref
+
+    _live_async_ckptrs = weakref.WeakSet()
+    atexit.register(_flush_async_ckptrs)
+
+
+_init_ckptr_registry()
+
+
 class BaseModel:
     def __init__(self, opt: dict):
         self.opt = opt
@@ -129,10 +155,13 @@ class BaseModel:
         if use_sf and fold > 1:
             from esr_tpu.parallel.spatial import spatial_fold_apply
 
+            # halo=0 is a meaningful (seam-error-measurement) value — only
+            # an ABSENT key falls back to the measured default of 32
+            h = self.opt.get("eval_spatial_fold_halo")
             apply_raw = spatial_fold_apply(
                 apply_raw,
                 fold,
-                halo=int(self.opt.get("eval_spatial_fold_halo") or 32),
+                halo=32 if h is None else int(h),
                 scale=self.scale,
             )
 
@@ -233,14 +262,15 @@ class BaseModel:
             # (SURVEY.md §5.3 TPU-native equivalent). One instance per model:
             # AsyncCheckpointer owns the worker thread.
             if not hasattr(self, "_async_ckptr"):
-                import atexit
-
                 self._async_ckptr = ocp.AsyncCheckpointer(
                     ocp.PyTreeCheckpointHandler()
                 )
                 # non-train call sites (scripts) may exit with a background
-                # write pending; make durability unconditional (ADVICE r2)
-                atexit.register(self._async_ckptr.wait_until_finished)
+                # write pending; make durability unconditional (ADVICE r2).
+                # ONE module-level atexit hook draining a WeakSet — a
+                # per-instance atexit.register(bound method) would pin every
+                # checkpointer (and its worker thread) for the process life.
+                _live_async_ckptrs.add(self._async_ckptr)
             return self._async_ckptr
         return ocp.PyTreeCheckpointer()
 

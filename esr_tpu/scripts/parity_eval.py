@@ -58,14 +58,6 @@ def run_parity_eval(
 ) -> dict:
     """Load a torch generator checkpoint, evaluate under the reference
     protocol, and write/return the parity report."""
-    import numpy as np
-    import torch
-
-    from esr_tpu import data as data_mod
-    from esr_tpu.models.networks import load_rrdb_from_torch
-    from esr_tpu.models.sr_model import SRModel
-    from esr_tpu.test import evaluate_dataset
-
     import jax as _jax
 
     # Oracle-grade numerics: TPU lowers DEFAULT-precision f32 convs to bf16
@@ -73,7 +65,27 @@ def run_parity_eval(
     # band vs a true-f32 oracle (docs/PERFORMANCE.md "bf16 noise floor") —
     # far too coarse for a 0.05 dB parity target. HIGHEST forces full-f32
     # MXU passes; measured to match the CPU-f32 oracle to float error.
-    _jax.config.update("jax_default_matmul_precision", "highest")
+    # Scoped (not a process-global config.update): in-process callers — the
+    # dry-run test, a driver running bench afterwards — must get their
+    # previous precision back.
+    with _jax.default_matmul_precision("highest"):
+        return _parity_eval_body(
+            pth, images, lr_images, scale, nb, nf, gc, use_cem, num_random_z,
+            anchor, dataset_name, out, save_images,
+        )
+
+
+def _parity_eval_body(
+    pth, images, lr_images, scale, nb, nf, gc, use_cem, num_random_z,
+    anchor, dataset_name, out, save_images,
+):
+    import numpy as np
+    import torch
+
+    from esr_tpu import data as data_mod
+    from esr_tpu.models.networks import load_rrdb_from_torch
+    from esr_tpu.models.sr_model import SRModel
+    from esr_tpu.test import evaluate_dataset
 
     state = torch.load(pth, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:

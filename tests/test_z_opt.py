@@ -299,3 +299,23 @@ def test_periodicity_objective_semantics():
     lp = float(obj(jnp.asarray(periodic), mask))
     la = float(obj(jnp.asarray(aperiodic), mask))
     assert lp < 1e-5 < la
+
+
+def test_d_score_is_region_sensitive(setup):
+    """The realism meter must score the SELECTION, not the whole image: the
+    objective's mask only gates gradients (it cannot change the value), so
+    d_score crops to the selection's bucketed bbox before D sees it. A
+    selection and the cleared (whole-image) state must generally score
+    differently (r3 review finding)."""
+    from esr_tpu.models.architecture import DiscriminatorVGG128
+
+    _, params, _, forward, _, _ = setup
+    lr_img = np.random.default_rng(9).random((1, 64, 64, 3)).astype(np.float32)
+    d = DiscriminatorVGG128(nf=4)
+    d_vars = d.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), train=False)
+    sess = ExplorationSession(forward, params, lr_img, n_steps=4)
+    sess.set_discriminator(d_vars, nf=4)
+    whole = sess.d_score()
+    sess.select_rect(8, 8, 24, 24)  # 16px bucket, strict subregion
+    region = sess.d_score()
+    assert region != whole
