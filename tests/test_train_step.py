@@ -715,3 +715,36 @@ def test_train_errors_on_zero_batch_loader(tmp_path):
     opt_path.write_text(json.dumps(opt))
     with pytest.raises(ValueError, match="0 batches"):
         train_main(["-opt", str(opt_path)])
+
+
+def test_train_with_custom_kernel_e2e(tmp_path):
+    """Top-level 'kernel' opt (user/estimated downsampling kernel, SURVEY
+    §2.10a KernelGAN use case) drives BOTH training LR synthesis and the CEM
+    operator: a GAN step runs, and test() output is consistent under THAT
+    kernel's downsampling (not bicubic)."""
+    import jax.numpy as jnp
+
+    from esr_tpu.cem import CEMConf, make_cem
+    from esr_tpu.models import create_model
+
+    g = np.outer(*(np.exp(-0.5 * ((np.arange(7) - 3) / 1.2) ** 2),) * 2)
+    kern = g / g.sum()
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+    opt["kernel"] = [list(r) for r in kern]
+    model = create_model(opt)
+    rng = np.random.default_rng(5)
+    model.feed_data({"HR": rng.random((2, 32, 32, 3)).astype(np.float32)})
+    model.optimize_parameters(1)
+    losses = model.get_current_losses()
+    assert np.isfinite(losses["l_g"])
+
+    lr = rng.random((8, 8, 3)).astype(np.float32)
+    model.feed_data({"LR": lr})
+    model.test()
+    sr = np.asarray(model.get_current_visuals()["SR"])
+    cem_k = make_cem(CEMConf(scale=4, kernel=tuple(map(tuple, kern))))
+    res_k = float(np.abs(np.asarray(cem_k.downsample(jnp.asarray(sr)[None]))[0] - lr).max())
+    assert res_k < 1e-4, res_k  # consistent under the CUSTOM kernel
+    cem_bic = make_cem(CEMConf(scale=4))
+    res_b = float(np.abs(np.asarray(cem_bic.downsample(jnp.asarray(sr)[None]))[0] - lr).max())
+    assert res_b > 10 * res_k  # and NOT under bicubic (the kernel matters)
