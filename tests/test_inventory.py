@@ -72,6 +72,9 @@ INVENTORY = {
     "2.15 network interpolation (ESRGAN recipe)": ("esr_tpu.scripts.net_interp", "main"),
     "5.3 async checkpointing": ("esr_tpu.models.base_model", "BaseModel"),
     "perf: MXU-lane batch fold": ("esr_tpu.models.blocks", "fold_kernel"),
+    "perf: spatial-fold batch-1 eval": ("esr_tpu.parallel.spatial", "spatial_fold_apply"),
+    "2.2 parity evaluator (driver metric #3)": ("esr_tpu.scripts.parity_eval", "run_parity_eval"),
+    "5.5 device-side uint8 eval fetch": ("esr_tpu.ops.color", "to_uint8_jax"),
 }
 
 
