@@ -19,7 +19,66 @@ __all__ = [
     "bicubic_downsample_kernel_1d",
     "downsample_kernel_2d",
     "lr_autocorrelation",
+    "resolve_kernel",
 ]
+
+
+def resolve_kernel(kernel) -> tuple | None:
+    """Normalize the top-level ``opt['kernel']`` value into the hashable
+    nested-tuple form :class:`esr_tpu.cem.CEMConf` takes.
+
+    Accepted forms (SURVEY.md §2.10a: "alternatively a user/estimated kernel,
+    e.g. from KernelGAN"):
+
+    - ``None`` / ``""``        -> ``None`` (MATLAB-bicubic default)
+    - nested list / tuple      -> as-is (the JSON-config path)
+    - ``np.ndarray`` (1-D/2-D) -> tuple form (``options.parse`` keeps numpy
+      leaves; plain truthiness on one is a ``ValueError``, hence this helper)
+    - ``str`` path             -> loaded from file: ``.npy``/``.npz``
+      (``np.load``), ``.mat`` (``scipy.io.loadmat`` — KernelGAN writes its
+      estimate as ``kernel_x4.mat`` with key ``'Kernel'``), anything else
+      ``np.loadtxt``. ``.npz``/``.mat`` prefer a ``kernel``/``Kernel`` entry,
+      else the single array present.
+    """
+    if kernel is None or (isinstance(kernel, str) and not kernel):
+        return None
+    if isinstance(kernel, str):
+        import os
+
+        ext = os.path.splitext(kernel)[1].lower()
+        if ext == ".npy":
+            arr = np.load(kernel)
+        elif ext in (".npz", ".mat"):
+            if ext == ".npz":
+                data = dict(np.load(kernel))
+            else:
+                import scipy.io
+
+                data = {
+                    k: v
+                    for k, v in scipy.io.loadmat(kernel).items()
+                    if not k.startswith("__")
+                }
+            for key in ("kernel", "Kernel"):
+                if key in data:
+                    arr = data[key]
+                    break
+            else:
+                arrays = [v for v in data.values() if np.asarray(v).ndim in (1, 2)]
+                if len(arrays) != 1:
+                    raise ValueError(
+                        f"kernel file {kernel!r}: expected a 'kernel'/'Kernel' "
+                        f"entry or exactly one array, got keys {sorted(data)}"
+                    )
+                arr = arrays[0]
+        else:
+            arr = np.loadtxt(kernel)
+        kernel = arr
+    arr = np.asarray(kernel, dtype=np.float64)
+    arr = np.squeeze(arr)
+    if arr.ndim not in (1, 2):
+        raise ValueError(f"kernel must be 1-D or 2-D, got shape {arr.shape}")
+    return tuple(arr.tolist()) if arr.ndim == 1 else tuple(map(tuple, arr.tolist()))
 
 
 def bicubic_downsample_kernel_1d(scale: int) -> tuple[np.ndarray, int]:

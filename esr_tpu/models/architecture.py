@@ -30,11 +30,20 @@ from esr_tpu.models.blocks import (
     kaiming_scaled,
     lrelu,
     unfold_batch,
-    upsample_nearest_2x,
+    upsample_nearest,
 )
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+def _up_factors(scale: int) -> tuple[int, ...]:
+    """Per-stage upsample factors for an integer model scale (reference
+    lineage supports x2/x3/x4; x8 and x1 kept for completeness)."""
+    table = {1: (), 2: (2,), 3: (3,), 4: (2, 2), 8: (2, 2, 2)}
+    if scale not in table:
+        raise ValueError(f"unsupported scale {scale}; supported: {sorted(table)}")
+    return table[scale]
 
 
 class _RRDBScanBody(nn.Module):
@@ -158,14 +167,13 @@ class RRDBNet(nn.Module):
                 trunk = block(trunk)
         trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, fold=f, name="trunk_conv")(trunk)
         fea = fea + trunk
-        n_up = {1: 0, 2: 1, 4: 2, 8: 3}[self.scale]
-        for i in range(n_up):
-            if self.fused_upsample:
+        for i, r in enumerate(_up_factors(self.scale)):
+            if self.fused_upsample and r == 2:
                 fea = FusedUpsampleConvLRelu(
                     self.nf, dtype=self.dtype, fold=f, name=f"upconv{i + 1}"
                 )(fea)
-            else:
-                fea = upsample_nearest_2x(fea)
+            else:  # odd factors (x3) take the materialized-upsample path
+                fea = upsample_nearest(fea, r)
                 fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, fold=f, name=f"upconv{i + 1}")(fea)
         fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, fold=f, name="HRconv")(fea)
         out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, fold=f, name="conv_last")(fea)
@@ -228,10 +236,9 @@ class SRResNet(nn.Module):
             trunk = ResidualBlockNoBN(self.nf, self.dtype, name=f"block{i}")(trunk)
         trunk = ConvLRelu(self.nf, act=False, init_scale=0.1, dtype=self.dtype, name="trunk_conv")(trunk)
         fea = fea + trunk
-        n_up = {1: 0, 2: 1, 4: 2, 8: 3}[self.scale]
-        for i in range(n_up):
-            fea = ConvLRelu(self.nf * 4, act=False, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
-            fea = lrelu(pixel_shuffle(fea, 2))
+        for i, r in enumerate(_up_factors(self.scale)):
+            fea = ConvLRelu(self.nf * r * r, act=False, dtype=self.dtype, name=f"upconv{i + 1}")(fea)
+            fea = lrelu(pixel_shuffle(fea, r))
         fea = ConvLRelu(self.nf, act=True, dtype=self.dtype, name="HRconv")(fea)
         out = ConvLRelu(self.out_nc, act=False, dtype=self.dtype, name="conv_last")(fea)
         return out.astype(jnp.float32)

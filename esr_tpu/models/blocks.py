@@ -343,12 +343,17 @@ class RRDB(nn.Module):
         return x + 0.2 * out
 
 
-def upsample_nearest_2x(x):
-    """Nearest-neighbor 2x upsample, NHWC, shape-static (the reference's
-    F.interpolate(scale_factor=2, mode='nearest'))."""
+def upsample_nearest(x, factor: int):
+    """Nearest-neighbor integer upsample, NHWC, shape-static (the reference's
+    F.interpolate(scale_factor=factor, mode='nearest'))."""
     n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, h * 2, w * 2, c)
+    r = int(factor)
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, r, w, r, c))
+    return x.reshape(n, h * r, w * r, c)
+
+
+def upsample_nearest_2x(x):
+    return upsample_nearest(x, 2)
 
 
 class _ConvParams(nn.Module):

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from esr_tpu.cem import CEMConf, make_cem
+from esr_tpu.cem.kernels import resolve_kernel
 from esr_tpu.data.pipeline import make_train_pipeline
 from esr_tpu.models import losses as L
 from esr_tpu.models.base_model import BaseModel, TrainState, make_adam, multistep_schedule
@@ -71,13 +72,7 @@ class SRModel(BaseModel):
         self.g_module = define_G(opt)
         self.nz = self.g_module.num_latent_channels
 
-        kernel = opt.get("kernel")
-        arr = np.asarray(kernel, dtype=np.float64) if kernel else None
-        self._kernel = (
-            None
-            if arr is None
-            else (tuple(arr.tolist()) if arr.ndim == 1 else tuple(map(tuple, arr.tolist())))
-        )
+        self._kernel = resolve_kernel(opt.get("kernel"))
         self.cem = None
         if opt.get("use_cem"):
             self.cem = make_cem(CEMConf(scale=self.scale, kernel=self._kernel))

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from esr_tpu.cem import CEMConf, make_cem
+from esr_tpu.cem.kernels import resolve_kernel
 from esr_tpu.data.pipeline import make_train_pipeline
 from esr_tpu.models import losses as L
 from esr_tpu.models.base_model import (
@@ -200,13 +201,7 @@ class SRRaGANModel(BaseModel):
         self.nz = self.g_module.num_latent_channels
         # optional user/estimated downsampling kernel (top-level 'kernel' opt):
         # defines both the CEM operator and training LR synthesis
-        kernel = opt.get("kernel")
-        arr = np.asarray(kernel, dtype=np.float64) if kernel else None
-        self._kernel = (
-            None
-            if arr is None
-            else (tuple(arr.tolist()) if arr.ndim == 1 else tuple(map(tuple, arr.tolist())))
-        )
+        self._kernel = resolve_kernel(opt.get("kernel"))
         self.cem = (
             make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
             if opt.get("use_cem")

@@ -181,3 +181,69 @@ def test_matmul_mode_matches_fft_mode():
     out = cem_m.project(g, lr)
     err = np.abs(np.asarray(cem_m.downsample(out)) - np.asarray(lr)).max()
     assert err < 5e-6, err
+
+
+def test_resolve_kernel_forms(tmp_path):
+    """Top-level 'kernel' opt forms: inline list, numpy array (options.parse
+    keeps numpy leaves — plain truthiness on one raises), and KernelGAN-style
+    files (.npy / .mat with 'Kernel' / .txt)."""
+    from esr_tpu.cem.kernels import resolve_kernel
+
+    g = np.exp(-0.5 * ((np.arange(8) - 3.5) / 1.5) ** 2)
+    k2 = np.outer(g, g)
+    as_list = resolve_kernel(k2.tolist())
+    as_np = resolve_kernel(k2)  # ndarray: must not hit bool(ndarray)
+    assert as_list == as_np and isinstance(as_np, tuple)
+    np.testing.assert_allclose(np.asarray(as_np), k2)
+
+    npy = tmp_path / "k.npy"
+    np.save(npy, k2)
+    np.testing.assert_allclose(np.asarray(resolve_kernel(str(npy))), k2)
+
+    import scipy.io
+
+    mat = tmp_path / "kernel_x4.mat"  # KernelGAN output convention
+    scipy.io.savemat(mat, {"Kernel": k2})
+    np.testing.assert_allclose(np.asarray(resolve_kernel(str(mat))), k2)
+
+    txt = tmp_path / "k.txt"
+    np.savetxt(txt, k2)
+    np.testing.assert_allclose(np.asarray(resolve_kernel(str(txt))), k2)
+
+    # 1-D stays 1-D; None/"" pass through; bad ndim errors
+    assert np.asarray(resolve_kernel(g)).ndim == 1
+    assert resolve_kernel(None) is None and resolve_kernel("") is None
+    with pytest.raises(ValueError):
+        resolve_kernel(np.ones((2, 2, 2)))
+
+
+def test_numpy_kernel_through_trainer(tmp_path):
+    """A numpy 'kernel' leaf (the documented options.parse round-trip case)
+    must build a trainer without tripping ndarray truthiness, and define both
+    CEM and LR synthesis."""
+    from esr_tpu.models.sr_model import SRModel
+
+    g = np.exp(-0.5 * ((np.arange(8) - 3.5) / 1.2) ** 2)
+    k2 = np.outer(g, g)
+    k2 /= k2.sum()
+    opt = {
+        "name": "npk",
+        "model": "sr",
+        "scale": 4,
+        "use_cem": True,
+        "is_train": True,
+        "kernel": k2,
+        "network_G": {
+            "which_model_G": "RRDB_net",
+            "nf": 8,
+            "nb": 1,
+            "gc": 4,
+            "num_latent_channels": 1,
+        },
+        "datasets": {"train": {"HR_size": 32, "batch_size": 2}},
+        "path": {"root": str(tmp_path)},
+        "train": {"lr_G": 1e-4, "niter": 1, "manual_seed": 0},
+    }
+    m = SRModel(opt)
+    assert m.cem is not None and m._lr_synth is not None
+    np.testing.assert_allclose(np.asarray(m._kernel), k2)

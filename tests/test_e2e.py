@@ -590,3 +590,16 @@ def test_train_cli_chunked_dispatch(tmp_path, image_dir):
     assert any(m.startswith("7_G") for m in models), models
     states = os.listdir(exp / "training_state")
     assert any(s.startswith("7.") for s in states), states
+
+
+def test_quickstart_script(tmp_path):
+    """The one-command tour (scripts/quickstart) runs the whole workflow:
+    synth data -> explorable GAN train -> eval -> one exploration edit."""
+    from esr_tpu.scripts.quickstart import main as quickstart_main
+
+    quickstart_main(["--root", str(tmp_path), "--niter", "4"])
+    assert (tmp_path / "edited_sr.png").exists()
+    exp = tmp_path / "experiments" / "quickstart"
+    assert (exp / "train_metrics.csv").exists()
+    results = list((tmp_path / "results").rglob("*.png"))
+    assert results, "eval saved no images"

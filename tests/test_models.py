@@ -501,3 +501,32 @@ def test_packed_rdb_equals_dense():
     )
     den = max(float(jnp.abs(b).max()) for b in jax.tree.leaves(g_d))
     assert num / den < 1e-5  # measured ~2e-7: accumulation-order rounding only
+
+
+def test_scale3_rrdb_and_srresnet_with_cem():
+    """x3 models (reference lineage supports x2/x3/x4): RRDB takes one
+    nearest-x3+conv upsample stage, SRResNet one PixelShuffle(3) stage; CEM
+    at scale 3 keeps the output exactly LR-consistent."""
+    from esr_tpu.cem import CEMConf, make_cem
+    from esr_tpu.models.architecture import RRDBNet, SRResNet
+
+    rng = jax.random.PRNGKey(0)
+    lr = jax.random.uniform(rng, (2, 12, 12, 3))
+
+    g = RRDBNet(nf=8, nb=1, gc=4, scale=3, num_latent_channels=1)
+    z = jnp.zeros((2, 12, 12, 1))
+    v = g.init(rng, lr, z)
+    sr = g.apply(v, lr, z)
+    assert sr.shape == (2, 36, 36, 3)
+
+    s = SRResNet(nf=8, nb=2, scale=3)
+    vs = s.init(rng, lr)
+    assert s.apply(vs, lr).shape == (2, 36, 36, 3)
+
+    cem = make_cem(CEMConf(scale=3))
+    out = cem.project(sr, lr)
+    err = float(jnp.abs(cem.downsample(out) - lr).max())
+    assert err < 1e-5, err
+
+    with pytest.raises(ValueError, match="unsupported scale"):
+        RRDBNet(nf=8, nb=1, gc=4, scale=5).init(rng, lr, z)
