@@ -76,6 +76,8 @@ def resolve_kernel(kernel) -> tuple | None:
         kernel = arr
     arr = np.asarray(kernel, dtype=np.float64)
     arr = np.squeeze(arr)
+    if arr.size == 0:  # e.g. 'kernel': [] — same bicubic fallback as None
+        return None
     if arr.ndim not in (1, 2):
         raise ValueError(f"kernel must be 1-D or 2-D, got shape {arr.shape}")
     return tuple(arr.tolist()) if arr.ndim == 1 else tuple(map(tuple, arr.tolist()))

@@ -76,8 +76,10 @@ class SRModel(BaseModel):
         self.cem = None
         if opt.get("use_cem"):
             self.cem = make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
+        # custom kernel -> LR synthesis shares the CEM operator (one build);
+        # default bicubic -> None (the pipeline's own imresize path)
         self._lr_synth = (
-            make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
+            self.cem or make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
             if self._kernel
             else None
         )

@@ -207,7 +207,13 @@ class SRRaGANModel(BaseModel):
             if opt.get("use_cem")
             else None
         )
-        self._lr_synth = make_cem(CEMConf(scale=self.scale, kernel=self._kernel)) if self._kernel else None
+        # custom kernel -> LR synthesis shares the CEM operator (one build);
+        # default bicubic -> None (the pipeline's own imresize path)
+        self._lr_synth = (
+            self.cem or make_cem(CEMConf(scale=self.scale, kernel=self._kernel))
+            if self._kernel
+            else None
+        )
 
         seed = int(train_opt.get("manual_seed") or 0)
         rng = jax.random.PRNGKey(seed)

@@ -50,9 +50,6 @@ def main(argv=None) -> None:
     root = os.path.abspath(args.root)
     os.makedirs(root, exist_ok=True)
 
-    img_dir = _write_images(root)
-    print(f"[1/4] synthetic dataset at {img_dir}")
-
     net_g = (
         {"which_model_G": "RRDB_net", "nf": 64, "nb": 23, "gc": 32,
          "num_latent_channels": 1, "fold": 2}
@@ -61,6 +58,9 @@ def main(argv=None) -> None:
               "num_latent_channels": 1}
     )
     hr_size = 128 if args.flagship else 32
+    # images must exceed the crop so training never sees reflect-padding
+    img_dir = _write_images(root, size=hr_size + 64)
+    print(f"[1/4] synthetic dataset at {img_dir}")
     train_opt = {
         "name": "quickstart",
         "model": "srragan",

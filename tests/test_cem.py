@@ -210,9 +210,10 @@ def test_resolve_kernel_forms(tmp_path):
     np.savetxt(txt, k2)
     np.testing.assert_allclose(np.asarray(resolve_kernel(str(txt))), k2)
 
-    # 1-D stays 1-D; None/"" pass through; bad ndim errors
+    # 1-D stays 1-D; None/""/[] fall back to bicubic; bad ndim errors
     assert np.asarray(resolve_kernel(g)).ndim == 1
     assert resolve_kernel(None) is None and resolve_kernel("") is None
+    assert resolve_kernel([]) is None  # old truthiness behavior preserved
     with pytest.raises(ValueError):
         resolve_kernel(np.ones((2, 2, 2)))
 
