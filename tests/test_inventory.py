@@ -73,6 +73,8 @@ INVENTORY = {
     "5.3 async checkpointing": ("esr_tpu.models.base_model", "BaseModel"),
     "perf: MXU-lane batch fold": ("esr_tpu.models.blocks", "fold_kernel"),
     "perf: spatial-fold batch-1 eval": ("esr_tpu.parallel.spatial", "spatial_fold_apply"),
+    "2.10 kernel-opt resolver (inline/numpy/KernelGAN file)": ("esr_tpu.cem.kernels", "resolve_kernel"),
+    "onboarding: one-command quickstart tour": ("esr_tpu.scripts.quickstart", "main"),
     "2.2 parity evaluator (driver metric #3)": ("esr_tpu.scripts.parity_eval", "run_parity_eval"),
     "5.5 device-side uint8 eval fetch": ("esr_tpu.ops.color", "to_uint8_jax"),
 }
