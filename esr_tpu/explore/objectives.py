@@ -165,11 +165,24 @@ def _periodicity_fn(shifts: tuple[tuple[float, float], ...]):
             out = shift_axis(out, dx, 2)
         return out
 
+    def valid_band(n, d, dtype):
+        # positions whose shifted source stays inside the image: jnp.roll
+        # wraps, so without this the loss would compare opposite borders
+        # whenever the region touches the edge (full-image masks always do)
+        idx = jnp.arange(n)
+        ok = (idx + math.floor(d) >= 0) & (idx + math.ceil(d) <= n - 1)
+        return ok.astype(dtype)
+
     def fn(sr, mask, aux):
+        h, w = mask.shape
         loss = 0.0
         for dy, dx in shifts:
             shifted = shift_img(sr, dy, dx)
             shifted_mask = shift_img(mask[None, :, :, None], dy, dx)[0, :, :, 0]
+            if dy:
+                shifted_mask = shifted_mask * valid_band(h, dy, mask.dtype)[:, None]
+            if dx:
+                shifted_mask = shifted_mask * valid_band(w, dx, mask.dtype)[None, :]
             joint = mask * shifted_mask  # only compare where both in-region
             loss += _masked_mean(jnp.abs(sr - shifted), joint)
         return loss / len(shifts)

@@ -80,7 +80,6 @@ class ExplorationSession:
         """Polygon (list of (y, x) HR coords) via even-odd rasterization."""
         h, w = self.hr_shape
         ys, xs = np.mgrid[0:h, 0:w]
-        mask = np.zeros((h, w), bool)
         v = np.asarray(vertices, np.float32)
         n = len(v)
         inside = np.zeros((h, w), bool)
@@ -93,8 +92,7 @@ class ExplorationSession:
             )
             inside ^= cond
             j = i
-        mask |= inside
-        self._set_mask(mask.astype(np.float32))
+        self._set_mask(inside.astype(np.float32))
 
     def select_mask(self, mask_hr: np.ndarray) -> None:
         """Arbitrary brush mask (float/bool HR-space)."""
@@ -270,7 +268,7 @@ class ExplorationSession:
         rng = np.random.default_rng(seed)
         mask_lr = self._mask_lr()[None, :, :, None]
         base_z = self.z.copy()
-        anchors = [self.current_sr(base_z)]
+        anchors = [self.current_sr()]  # z unchanged -> rides the SR cache
         for i in range(k):
             z_init = base_z * (1 - mask_lr) + mask_lr * rng.uniform(
                 -1, 1, self.z.shape
@@ -290,7 +288,7 @@ class ExplorationSession:
             cands.append((z_opt, sr))
             if candidate_cb is not None:
                 candidate_cb(i + 1, k)
-        self._sr_cache = None  # defensive: keep cache tied to self.z only
+        # self.z was never mutated — the SR cache stays valid
         return cands
 
     def apply_alternative(self, z: np.ndarray) -> None:

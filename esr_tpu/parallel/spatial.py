@@ -126,6 +126,13 @@ def spatial_sharded_forward(
     n_shards = mesh.shape[axis]
 
     def _validate(lr):
+        if halo < 1:
+            raise ValueError(
+                f"halo must be >= 1 for the sharded forward (got {halo}); "
+                "halo=0 seam-error measurement is supported on the batched "
+                "spatial_fold_apply path, not here (the ppermute exchange "
+                "and output crop degenerate at 0)"
+            )
         h = lr.shape[1]
         if h % n_shards:
             raise ValueError(

@@ -109,7 +109,9 @@ class _EvalScorer:
     """Per-image metric accumulation shared by the serial and dist eval paths
     (identical math by construction)."""
 
-    def __init__(self, only_y: bool, scale: int, save_dir: str | None):
+    def __init__(
+        self, only_y: bool, scale: int, save_dir: str | None, n_draws: int | None = None
+    ):
         from esr_tpu.ops.color import rgb2ycbcr
         from esr_tpu.ops.metrics import calculate_psnr, calculate_ssim, crop_border
 
@@ -119,6 +121,11 @@ class _EvalScorer:
         self.psnrs, self.ssims, self.residuals = [], [], []
         self.z_psnrs, self.z_ssims = [], []
         self._z_srs: dict[object, list[np.ndarray]] = {}  # img key -> SRs per draw
+        # draws per image (when known): lets add() score+drop an image's SRs
+        # the moment its last draw lands instead of holding the whole
+        # dataset's uint8 draws until finalize() (DIV2K x several Z = GBs)
+        self._n_draws = n_draws
+        self._z_div_pairs: list[tuple[float, float]] = []  # (plain, textured)
 
     def add(self, key, zi, sr_img, hr_img, residual, lr_path, multi_z: bool) -> None:
         """sr_img/hr_img: uint8 HWC (already cropped to the original size)."""
@@ -130,7 +137,13 @@ class _EvalScorer:
             base = os.path.splitext(os.path.basename(str(lr_path)))[0]
             save_img(sr_img, os.path.join(self.save_dir, f"{base}{'_z%d' % zi if zi else ''}.png"))
         if multi_z:
-            self._z_srs.setdefault(key, []).append(sr_img)
+            srs = self._z_srs.setdefault(key, [])
+            srs.append(sr_img)
+            if self._n_draws is not None and len(srs) == self._n_draws:
+                pair = self._image_diversity(srs)
+                if pair is not None:
+                    self._z_div_pairs.append(pair)
+                del self._z_srs[key]
         if hr_img is None:
             return
         a, b = sr_img, hr_img
@@ -145,26 +158,35 @@ class _EvalScorer:
             self.z_psnrs.append(self._psnr(a, b))
             self.z_ssims.append(self._ssim(a, b))
 
+    @staticmethod
+    def _image_diversity(srs: list[np.ndarray]) -> tuple[float, float] | None:
+        """(plain, textured) mean pairwise L1 across one image's Z draws.
+
+        Texture mask from the base (zi=0) SR: pixels whose local std is
+        above the image median — diversity over textured regions, not
+        flat areas dominated by global brightness wiggle (VERDICT weak #7)."""
+        if len(srs) < 2:
+            return None
+        gray = srs[0].astype(np.float64).mean(axis=-1) if srs[0].ndim == 3 else srs[0]
+        std = _local_std_map(gray)
+        mask = std > np.median(std)
+        plain, tex = [], []
+        for i in range(len(srs)):
+            for j in range(i + 1, len(srs)):
+                d = np.abs(srs[i].astype(np.float64) - srs[j].astype(np.float64))
+                plain.append(float(d.mean()))
+                dm = d.mean(axis=-1) if d.ndim == 3 else d
+                tex.append(float(dm[mask].mean()) if mask.any() else 0.0)
+        return float(np.mean(plain)), float(np.mean(tex))
+
     def finalize(self) -> dict:
-        z_divs, z_divs_tex = [], []
-        for srs in self._z_srs.values():
-            if len(srs) < 2:
-                continue
-            # texture mask from the base (zi=0) SR: pixels whose local std is
-            # above the image median — diversity over textured regions, not
-            # flat areas dominated by global brightness wiggle (VERDICT weak #7)
-            gray = srs[0].astype(np.float64).mean(axis=-1) if srs[0].ndim == 3 else srs[0]
-            std = _local_std_map(gray)
-            mask = std > np.median(std)
-            plain, tex = [], []
-            for i in range(len(srs)):
-                for j in range(i + 1, len(srs)):
-                    d = np.abs(srs[i].astype(np.float64) - srs[j].astype(np.float64))
-                    plain.append(float(d.mean()))
-                    dm = d.mean(axis=-1) if d.ndim == 3 else d
-                    tex.append(float(dm[mask].mean()) if mask.any() else 0.0)
-            z_divs.append(float(np.mean(plain)))
-            z_divs_tex.append(float(np.mean(tex)))
+        pairs = list(self._z_div_pairs)
+        for srs in self._z_srs.values():  # images not flushed by add()
+            pair = self._image_diversity(srs)
+            if pair is not None:
+                pairs.append(pair)
+        z_divs = [p[0] for p in pairs]
+        z_divs_tex = [p[1] for p in pairs]
         out = {
             "psnr": float(np.mean(self.psnrs)) if self.psnrs else float("nan"),
             "ssim": float(np.mean(self.ssims)) if self.ssims else float("nan"),
@@ -225,7 +247,7 @@ def evaluate_dataset(
             bucket=bucket, nz=nz, save_dir=save_dir, gpu_ids=opt.get("gpu_ids"),
             per_dev_batch=max(1, eval_batch),
         )
-    scorer = _EvalScorer(only_y, scale, save_dir)
+    scorer = _EvalScorer(only_y, scale, save_dir, n_draws=1 + (num_z if nz else 0))
 
     # NOTE on a measured negative (r3): a one-deep software pipeline
     # (copy_to_host_async the uint8 SR, flush while the next image computes)
@@ -331,9 +353,9 @@ def _evaluate_dataset_dist(
             (idx, lr_p, orig_hw, sample.get("HR"), sample.get("LR_path"))
         )
 
-    scorer = _EvalScorer(only_y, scale, save_dir)
-    fwd = model._forward
     n_draws = 1 + (num_z if nz else 0)
+    scorer = _EvalScorer(only_y, scale, save_dir, n_draws=n_draws)
+    fwd = model._forward
 
     by_shape: dict[tuple, list] = {}
     for it in items:

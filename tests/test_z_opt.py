@@ -301,6 +301,24 @@ def test_periodicity_objective_semantics():
     assert lp < 1e-5 < la
 
 
+def test_periodicity_no_border_wrap():
+    """jnp.roll wraps, so without the validity band a full-image mask would
+    compare opposite borders (r3 review finding). A linear ramp shifted by p
+    differs by exactly p inside the valid band; the wrapped band (diff H-p)
+    must not contribute."""
+    from esr_tpu.explore.objectives import periodicity_objective
+
+    h = 8
+    obj = periodicity_objective(period_y=2)
+    ramp = np.tile(
+        np.arange(h, dtype=np.float32)[None, :, None, None], (1, 1, h, 3)
+    )
+    mask = jnp.ones((h, h), jnp.float32)
+    loss = float(obj(jnp.asarray(ramp), mask))
+    # valid rows 0..5 all have |diff| == 2; wrapped rows would push it to 3
+    np.testing.assert_allclose(loss, 2.0, rtol=1e-5)
+
+
 def test_d_score_is_region_sensitive(setup):
     """The realism meter must score the SELECTION, not the whole image: the
     objective's mask only gates gradients (it cannot change the value), so
