@@ -71,6 +71,7 @@ class DataLoader:
         self.seed = seed
         self.collate_keys = collate_keys
         self._epoch = 0
+        self._skip = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -96,31 +97,61 @@ class DataLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         return idx
 
+    def set_position(self, epoch: int, batches_consumed: int = 0) -> None:
+        """Restore the data stream for resume: the next ``__iter__`` shuffles
+        with epoch ``epoch``'s seed and starts ``batches_consumed`` batches
+        into it (composes with the datasets' stateless (seed, epoch, index)
+        crop draws — a resumed run sees exactly the batches the original
+        would have)."""
+        self._epoch = int(epoch)
+        self._skip = max(0, int(batches_consumed))
+
     def __iter__(self):
+        # stateless crop/augment draws need the dataset to know the epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         idx = self._indices()
         self._epoch += 1
+        first, self._skip = min(self._skip, len(self)), 0
         bs = self.batch_size
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()  # set when the consumer abandons the iter
+
+        def put(item) -> bool:  # False = consumer gone, worker should exit
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
-                for b in range(n_batches):
+                for b in range(first, n_batches):
                     chunk = idx[b * bs : (b + 1) * bs]
-                    q.put(self._collate([self.dataset[int(i)] for i in chunk]))
+                    if not put(self._collate([self.dataset[int(i)] for i in chunk])):
+                        return
             except Exception as e:  # surface loader errors in the main thread
-                q.put(e)
-            q.put(None)
+                if not put(e):
+                    return
+            put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # a break/abandoned generator must not leave the worker blocked
+            # on a full queue forever (thread leak, mmap/file handles pinned)
+            stop.set()
 
 
 def create_dataloader(dataset, dataset_opt: dict):

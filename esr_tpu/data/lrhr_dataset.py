@@ -42,30 +42,48 @@ class LRHRDataset:
         )
         if self.paths_lr and len(self.paths_lr) != len(self.paths_hr):
             raise ValueError("LR and HR datasets have different sizes")
-        self.rng = np.random.default_rng(opt.get("seed") or 0)
+        self.seed = int(opt.get("seed") or 0)
+        self._epoch = 0
         self.on_device_processing = bool(opt.get("on_device_processing", True))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Crop/augment draws are a pure function of (seed, epoch, index) —
+        resuming a run at epoch E replays exactly the stream the original run
+        would have produced (the loader calls this each epoch)."""
+        self._epoch = int(epoch)
+
+    def _rng(self, index: int):
+        return np.random.default_rng((self.seed, self._epoch, index))
 
     def __len__(self) -> int:
         return len(self.paths_hr)
 
     def __getitem__(self, index: int) -> dict:
         hr_path = self.paths_hr[index]
-        hr = data_util.read_img(hr_path)
-        lr = data_util.read_img(self.paths_lr[index]) if self.paths_lr else None
         lr_path = self.paths_lr[index] if self.paths_lr else hr_path
 
         if self.phase == "train":
-            hr, lr = data_util.random_crop_pair(hr, lr, self.hr_size, self.scale, self.rng)
+            rng = self._rng(index)
             if self.on_device_processing:
+                # uint8 decode: the device pipeline normalizes itself, so
+                # uint8 crops cost 1/4 the H2D bytes of float32
+                hr = data_util.read_img_uint8(hr_path)
+                lr = data_util.read_img_uint8(lr_path) if self.paths_lr else None
+                hr, lr = data_util.random_crop_pair(hr, lr, self.hr_size, self.scale, rng)
                 # device pipeline does LR synthesis + augment + normalize
                 return {"HR": hr, "LR": lr, "HR_path": hr_path, "LR_path": lr_path}
+            hr = data_util.read_img(hr_path)
+            lr = data_util.read_img(lr_path) if self.paths_lr else None
+            hr, lr = data_util.random_crop_pair(hr, lr, self.hr_size, self.scale, rng)
             if lr is None:
                 lr = imresize_np(hr, scale=1.0 / self.scale)
             hr_a, lr_a = data_util.augment(
-                [hr, lr], self.opt.get("use_flip", True), self.opt.get("use_rot", True), self.rng
+                [hr, lr], self.opt.get("use_flip", True), self.opt.get("use_rot", True), rng
             )
             return {"HR": hr_a, "LR": lr_a, "HR_path": hr_path, "LR_path": lr_path}
 
+        hr = data_util.read_img(hr_path)
+        lr = data_util.read_img(lr_path) if self.paths_lr else None
         hr = data_util.modcrop(hr, self.scale)
         if lr is None:
             lr = imresize_np(hr, scale=1.0 / self.scale)
@@ -98,7 +116,12 @@ class SyntheticDataset:
         self.hr_size = int(opt.get("HR_size") or 128)
         self.n = int(opt.get("n_images") or 16)
         self.image_size = int(opt.get("image_size") or max(self.hr_size, 192))
-        self.rng = np.random.default_rng(opt.get("seed") or 0)
+        self.seed = int(opt.get("seed") or 0)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """See LRHRDataset.set_epoch — stateless (seed, epoch, index) draws."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return self.n
@@ -126,7 +149,12 @@ class SyntheticDataset:
         hr = self._make_image(index)
         path = f"synthetic://{index}"
         if self.phase == "train":
-            hr, _ = data_util.random_crop_pair(hr, None, self.hr_size, self.scale, self.rng)
+            rng = np.random.default_rng((self.seed, self._epoch, index))
+            hr, _ = data_util.random_crop_pair(hr, None, self.hr_size, self.scale, rng)
+            # uint8 crop (device pipeline's contract: 1/4 the H2D bytes);
+            # synthetic sources are float so this quantizes once at the
+            # same 8-bit grid a real PNG training set lives on
+            hr = (hr * 255.0).round().astype(np.uint8)
             return {"HR": hr, "LR": None, "HR_path": path, "LR_path": path}
         hr = data_util.modcrop(hr, self.scale)
         lr = imresize_np(hr, scale=1.0 / self.scale)

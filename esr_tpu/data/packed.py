@@ -42,8 +42,13 @@ class PackedDataset:
             raise FileNotFoundError(f"packed dataset not found: {path}.npy")
         self.data = np.load(path + ".npy", mmap_mode="r")
         self.hr_size = int(opt.get("HR_size") or 128)
-        self.rng = np.random.default_rng(opt.get("seed") or 0)
+        self.seed = int(opt.get("seed") or 0)
+        self._epoch = 0
         self.phase = opt.get("phase", "train")
+
+    def set_epoch(self, epoch: int) -> None:
+        """See LRHRDataset.set_epoch — stateless (seed, epoch, index) draws."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return int(self.data.shape[0])
@@ -53,8 +58,9 @@ class PackedDataset:
         h, w = img.shape[:2]
         hs = self.hr_size
         if self.phase == "train" and (h > hs or w > hs):
-            y = int(self.rng.integers(0, h - hs + 1))
-            x = int(self.rng.integers(0, w - hs + 1))
+            rng = np.random.default_rng((self.seed, self._epoch, index))
+            y = int(rng.integers(0, h - hs + 1))
+            x = int(rng.integers(0, w - hs + 1))
             img = img[y : y + hs, x : x + hs]
         return {
             "HR": np.asarray(img),

@@ -21,6 +21,7 @@ __all__ = [
     "is_image_file",
     "get_image_paths",
     "read_img",
+    "read_img_uint8",
     "save_img",
     "modcrop",
     "augment",
@@ -45,8 +46,8 @@ def get_image_paths(dataroot: str) -> list[str]:
     return paths
 
 
-def read_img(path: str) -> np.ndarray:
-    """Decode an image file to HWC float32 RGB in [0,1]."""
+def _decode_rgb(path: str) -> np.ndarray:
+    """cv2 decode to HWC RGB, native dtype (uint8/uint16/float)."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
@@ -58,6 +59,12 @@ def read_img(path: str) -> np.ndarray:
         img = img[:, :, :3]
     if img.shape[2] == 3:
         img = img[:, :, ::-1]  # BGR (cv2) -> RGB (framework convention)
+    return img
+
+
+def read_img(path: str) -> np.ndarray:
+    """Decode an image file to HWC float32 RGB in [0,1]."""
+    img = _decode_rgb(path)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
     elif img.dtype == np.uint16:
@@ -65,6 +72,19 @@ def read_img(path: str) -> np.ndarray:
     else:
         img = img.astype(np.float32)
     return np.ascontiguousarray(img)
+
+
+def read_img_uint8(path: str) -> np.ndarray:
+    """Decode to HWC RGB keeping uint8 when the file is 8-bit (the common
+    case — PNG/JPEG training sets). The device pipeline normalizes uint8
+    itself, so shipping uint8 crops costs 1/4 the host->device bytes of
+    read_img's float32. Non-8-bit sources fall back to float32 [0,1]."""
+    img = _decode_rgb(path)
+    if img.dtype == np.uint8:
+        return np.ascontiguousarray(img)
+    if img.dtype == np.uint16:
+        return np.ascontiguousarray(img.astype(np.float32) / 65535.0)
+    return np.ascontiguousarray(img.astype(np.float32))
 
 
 def save_img(img: np.ndarray, path: str) -> None:

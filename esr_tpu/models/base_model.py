@@ -29,7 +29,16 @@ __all__ = [
     "multistep_schedule",
     "make_adam",
     "maybe_dp_step",
+    "opt_float",
 ]
+
+
+def opt_float(cfg: dict | None, key: str, default: float) -> float:
+    """Numeric option lookup honoring an EXPLICIT 0: plain ``or``-defaulting
+    would silently replace e.g. ``lr_gamma: 0`` with 0.5 or ``gan_weight: 0``
+    (an ablation) with 0.005. Only a missing/None key takes the default."""
+    v = (cfg or {}).get(key)
+    return float(default if v is None else v)
 
 
 def maybe_dp_step(

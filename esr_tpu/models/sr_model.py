@@ -17,7 +17,13 @@ from esr_tpu.cem import CEMConf, make_cem
 from esr_tpu.cem.kernels import resolve_kernel
 from esr_tpu.data.pipeline import make_train_pipeline
 from esr_tpu.models import losses as L
-from esr_tpu.models.base_model import BaseModel, TrainState, make_adam, multistep_schedule
+from esr_tpu.models.base_model import (
+    BaseModel,
+    TrainState,
+    make_adam,
+    multistep_schedule,
+    opt_float,
+)
 from esr_tpu.models.networks import define_G
 from esr_tpu.ops.metrics import psnr_jax
 
@@ -101,15 +107,15 @@ class SRModel(BaseModel):
 
         if self.is_train:
             sched = multistep_schedule(
-                float(train_opt.get("lr_G") or 2e-4),
+                opt_float(train_opt, "lr_G", 2e-4),
                 train_opt.get("lr_steps") or [],
-                float(train_opt.get("lr_gamma") or 0.5),
+                opt_float(train_opt, "lr_gamma", 0.5),
             )
             self.schedulers["G"] = sched
             grad_clip = train_opt.get("grad_clip")
             tx = make_adam(
                 sched,
-                float(train_opt.get("beta1_G") or 0.9),
+                opt_float(train_opt, "beta1_G", 0.9),
                 grad_clip=float(grad_clip) if grad_clip else None,
             )
         else:
@@ -124,8 +130,12 @@ class SRModel(BaseModel):
         self._paired_lr = bool(train_ds_opt.get("dataroot_LR"))
         pipeline = make_train_pipeline(
             scale=self.scale,
-            use_flip=bool(train_opt.get("use_flip", True)),
-            use_rot=bool(train_opt.get("use_rot", True)),
+            # reference location: augment flags live in the dataset block
+            # (train-block values honored as a fallback)
+            use_flip=bool(
+                train_ds_opt.get("use_flip", train_opt.get("use_flip", True))
+            ),
+            use_rot=bool(train_ds_opt.get("use_rot", train_opt.get("use_rot", True))),
             num_latent_channels=self.nz,
             downsample_fn=self._lr_synth.downsample if self._lr_synth else None,
         )
@@ -160,16 +170,19 @@ class SRModel(BaseModel):
     def feed_data(self, data: dict) -> None:
         self._data = data
 
-    def optimize_parameters(self, step: int) -> None:
-        self.step = step
-        # rng is a pure function of (seed, step): deterministic resume
-        rng = jax.random.fold_in(self._rng, step)
-        batch = self._make_batch()
+    def _ensure_placed(self) -> None:
         if self._mesh is not None and not getattr(self, "_placed", False):
             from esr_tpu.parallel.dp import replicate_states
 
             self.state = replicate_states(self.state, self._mesh)
             self._placed = True
+
+    def optimize_parameters(self, step: int) -> None:
+        self.step = step
+        # rng is a pure function of (seed, step): deterministic resume
+        rng = jax.random.fold_in(self._rng, step)
+        batch = self._make_batch()
+        self._ensure_placed()
         self.state, metrics = self._train_step(self.state, batch, rng)
         self._losses = metrics
 
@@ -177,22 +190,9 @@ class SRModel(BaseModel):
         """Run ``k = chunk['HR'].shape[0]`` consecutive train steps in ONE
         dispatch (see :func:`make_sr_multi_step`); trajectory-equivalent to
         k ``feed_data``/``optimize_parameters`` calls."""
-        hr = np.asarray(chunk["HR"])
-        k = int(hr.shape[0])
-        if self._paired_lr:
-            if chunk.get("LR") is None:
-                raise ValueError(
-                    "dataroot_LR is configured (paired-LR training) but the "
-                    "chunk carries no LR array — check the dataset/loader"
-                )
-            batches = {"HR": hr, "LR": np.asarray(chunk["LR"])}
-        else:
-            batches = hr
-        if self._mesh is not None and not getattr(self, "_placed", False):
-            from esr_tpu.parallel.dp import replicate_states
-
-            self.state = replicate_states(self.state, self._mesh)
-            self._placed = True
+        batches = self._make_batch(chunk)
+        k = int(np.asarray(chunk["HR"]).shape[0])
+        self._ensure_placed()
         if self._multi_step is None:
             multi = make_sr_multi_step(self._step_fn)
             if self._mesh is not None:
@@ -209,16 +209,17 @@ class SRModel(BaseModel):
         )
         self._losses = metrics
 
-    def _make_batch(self):
-        hr = np.asarray(self._data["HR"])
+    def _make_batch(self, data: dict | None = None):
+        data = self._data if data is None else data
+        hr = np.asarray(data["HR"])
         if not self._paired_lr:
             return hr
-        if self._data.get("LR") is None:
+        if data.get("LR") is None:
             raise ValueError(
                 "dataroot_LR is configured (paired-LR training) but the batch "
                 "carries no LR array — check the dataset/loader"
             )
-        return {"HR": hr, "LR": np.asarray(self._data["LR"])}
+        return {"HR": hr, "LR": np.asarray(data["LR"])}
 
     def test(self, z: np.ndarray | None = None) -> None:
         lr = jnp.asarray(self._data["LR"])

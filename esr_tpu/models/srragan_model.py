@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from esr_tpu.cem import CEMConf, make_cem
 from esr_tpu.cem.kernels import resolve_kernel
@@ -40,6 +41,7 @@ from esr_tpu.models.base_model import (
     make_adam,
     maybe_dp_step,
     multistep_schedule,
+    opt_float,
 )
 from esr_tpu.models.networks import define_D, define_F, define_G
 from esr_tpu.ops.metrics import psnr_jax
@@ -55,16 +57,25 @@ def make_gan_train_step(
     cem,
     pipeline,
     cfg: dict,
+    g_lr_schedule=None,
 ):
-    """Build the pure GAN train step (see module docstring)."""
+    """Build the pure GAN train step (see module docstring).
+
+    ``g_lr_schedule``: when given, the G TrainState's optimizer must be built
+    with unit learning rate (``make_adam(1.0, ...)``) and the step applies
+    ``g_lr_schedule(global_step)`` itself. This reproduces the reference
+    exactly under gated G updates (``D_update_ratio``/``D_init_iters``):
+    torch's MultiStepLR steps every ITERATION while Adam state advances only
+    on real updates — an optax schedule keyed on the optimizer's own count
+    would fire the LR milestones late."""
     gan_type = cfg.get("gan_type") or "vanilla"
     relativistic = bool(cfg.get("relativistic", True))  # False = SRGAN_model
-    w_gp = float(cfg.get("gp_weight") or (10.0 if gan_type == "wgan-gp" else 0.0))
-    w_pix = float(cfg.get("pixel_weight") or 0.0)
-    w_feat = float(cfg.get("feature_weight") or 0.0)
-    w_gan = float(cfg.get("gan_weight") or 0.005)
-    w_range = float(cfg.get("range_weight") or 0.0)
-    w_map = float(cfg.get("map_weight") or 0.0)
+    w_gp = opt_float(cfg, "gp_weight", 10.0 if gan_type == "wgan-gp" else 0.0)
+    w_pix = opt_float(cfg, "pixel_weight", 0.0)
+    w_feat = opt_float(cfg, "feature_weight", 0.0)
+    w_gan = opt_float(cfg, "gan_weight", 0.005)
+    w_range = opt_float(cfg, "range_weight", 0.0)
+    w_map = opt_float(cfg, "map_weight", 0.0)
     pix_kind = cfg.get("pixel_criterion") or "l1"
     d_ratio = int(cfg.get("D_update_ratio") or 1)
     d_init = int(cfg.get("D_init_iters") or 0)
@@ -126,8 +137,20 @@ def make_gan_train_step(
         (l_g, (g_aux, fake)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_state.params
         )
-        do_g = jnp.logical_and(step % d_ratio == 0, step >= d_init)
-        updated = g_state.apply_gradients(grads=g_grads)
+        # reference gate (steps are 1-based): step % ratio == 0 AND step >
+        # D_init_iters — strict >, matching the reference's one-step delay
+        do_g = jnp.logical_and(step % d_ratio == 0, step > d_init)
+        if g_lr_schedule is None:
+            updated = g_state.apply_gradients(grads=g_grads)
+        else:
+            g_upd, g_opt = g_state.tx.update(g_grads, g_state.opt_state, g_state.params)
+            lr = g_lr_schedule(step)  # LR from the GLOBAL step (see docstring)
+            g_upd = jax.tree.map(lambda u: lr * u, g_upd)
+            updated = g_state.replace(
+                params=optax.apply_updates(g_state.params, g_upd),
+                opt_state=g_opt,
+                step=g_state.step + 1,
+            )
         g_state = jax.tree.map(lambda new, old: jnp.where(do_g, new, old), updated, g_state)
         fake_sg = jax.lax.stop_gradient(fake)
 
@@ -247,32 +270,36 @@ class SRRaGANModel(BaseModel):
                 )
 
             g_sched = multistep_schedule(
-                float(train_opt.get("lr_G") or 1e-4),
+                opt_float(train_opt, "lr_G", 1e-4),
                 train_opt.get("lr_steps") or [],
-                float(train_opt.get("lr_gamma") or 0.5),
+                opt_float(train_opt, "lr_gamma", 0.5),
             )
             d_sched = multistep_schedule(
-                float(train_opt.get("lr_D") or 1e-4),
+                opt_float(train_opt, "lr_D", 1e-4),
                 train_opt.get("lr_steps") or [],
-                float(train_opt.get("lr_gamma") or 0.5),
+                opt_float(train_opt, "lr_gamma", 0.5),
             )
             if opt["path"].get("pretrain_model_D"):
                 d_vars = self.load_network(opt["path"]["pretrain_model_D"], d_vars)
             grad_clip = train_opt.get("grad_clip")
             grad_clip = float(grad_clip) if grad_clip else None
             self.schedulers = {"G": g_sched, "D": d_sched}
+            # unit-LR Adam: the train step applies g_sched(global_step)
+            # itself so MultiStepLR milestones track iterations even under
+            # gated G updates (reference scheduler semantics); Adam state
+            # structure is unchanged, so checkpoints stay compatible
             self.g_state = TrainState.create(
                 apply_fn=self.g_module.apply,
                 params=g_params,
                 tx=make_adam(
-                    g_sched, float(train_opt.get("beta1_G") or 0.9), grad_clip=grad_clip
+                    1.0, opt_float(train_opt, "beta1_G", 0.9), grad_clip=grad_clip
                 ),
             )
             self.d_state = TrainState.create(
                 apply_fn=self.d_module.apply,
                 params=d_vars["params"],
                 tx=make_adam(
-                    d_sched, float(train_opt.get("beta1_D") or 0.9), grad_clip=grad_clip
+                    d_sched, opt_float(train_opt, "beta1_D", 0.9), grad_clip=grad_clip
                 ),
                 batch_stats=d_vars.get("batch_stats"),
             )
@@ -282,8 +309,14 @@ class SRRaGANModel(BaseModel):
             self._paired_lr = bool(train_ds_opt.get("dataroot_LR"))
             pipeline = make_train_pipeline(
                 scale=self.scale,
-                use_flip=True,
-                use_rot=True,
+                # reference location: augment flags live in the dataset block
+                # (train-block values honored as a fallback)
+                use_flip=bool(
+                    train_ds_opt.get("use_flip", train_opt.get("use_flip", True))
+                ),
+                use_rot=bool(
+                    train_ds_opt.get("use_rot", train_opt.get("use_rot", True))
+                ),
                 num_latent_channels=self.nz,
                 downsample_fn=self._lr_synth.downsample if self._lr_synth else None,
             )
@@ -295,6 +328,7 @@ class SRRaGANModel(BaseModel):
                 self.cem,
                 pipeline,
                 train_opt,
+                g_lr_schedule=g_sched,
             )
             self._step_fn = step_fn
             self._train_step, self._mesh = maybe_dp_step(
@@ -326,22 +360,21 @@ class SRRaGANModel(BaseModel):
     def feed_data(self, data: dict) -> None:
         self._data = data
 
-    def optimize_parameters(self, step: int) -> None:
-        self.step = step
-        # rng is a pure function of (seed, step): deterministic resume
-        rng = jax.random.fold_in(self._rng, step)
-        # keep the batch host-side/uncommitted: jit places it per the step's
-        # in_shardings (sharded over 'data' under DP, default device otherwise)
-        hr = np.asarray(self._data["HR"])
-        if self._paired_lr:
-            if self._data.get("LR") is None:
-                raise ValueError(
-                    "dataroot_LR is configured (paired-LR training) but the "
-                    "batch carries no LR array — check the dataset/loader"
-                )
-            batch = {"HR": hr, "LR": np.asarray(self._data["LR"])}
-        else:
-            batch = hr
+    def _prep_batch(self, data: dict):
+        """Host-side batch prep shared by the per-step and chunked paths:
+        keeps arrays uncommitted (jit places them per the step's
+        in_shardings) and validates the paired-LR contract."""
+        hr = np.asarray(data["HR"])
+        if not self._paired_lr:
+            return hr
+        if data.get("LR") is None:
+            raise ValueError(
+                "dataroot_LR is configured (paired-LR training) but the "
+                "batch carries no LR array — check the dataset/loader"
+            )
+        return {"HR": hr, "LR": np.asarray(data["LR"])}
+
+    def _ensure_placed(self) -> None:
         if self._mesh is not None and not getattr(self, "_placed", False):
             from esr_tpu.parallel.dp import replicate_states
 
@@ -349,6 +382,13 @@ class SRRaGANModel(BaseModel):
                 (self.g_state, self.d_state), self._mesh
             )
             self._placed = True
+
+    def optimize_parameters(self, step: int) -> None:
+        self.step = step
+        # rng is a pure function of (seed, step): deterministic resume
+        rng = jax.random.fold_in(self._rng, step)
+        batch = self._prep_batch(self._data)
+        self._ensure_placed()
         self.g_state, self.d_state, metrics = self._train_step(
             self.g_state, self.d_state, batch, rng, jnp.int32(step)
         )
@@ -360,24 +400,9 @@ class SRRaGANModel(BaseModel):
         :func:`make_gan_multi_step`. Trajectory-equivalent to k
         ``feed_data``/``optimize_parameters`` calls; ``get_current_losses``
         afterwards reports the last step's metrics."""
-        hr = np.asarray(chunk["HR"])
-        k = int(hr.shape[0])
-        if self._paired_lr:
-            if chunk.get("LR") is None:
-                raise ValueError(
-                    "dataroot_LR is configured (paired-LR training) but the "
-                    "chunk carries no LR array — check the dataset/loader"
-                )
-            batches = {"HR": hr, "LR": np.asarray(chunk["LR"])}
-        else:
-            batches = hr
-        if self._mesh is not None and not getattr(self, "_placed", False):
-            from esr_tpu.parallel.dp import replicate_states
-
-            self.g_state, self.d_state = replicate_states(
-                (self.g_state, self.d_state), self._mesh
-            )
-            self._placed = True
+        batches = self._prep_batch(chunk)
+        k = int(np.asarray(chunk["HR"]).shape[0])
+        self._ensure_placed()
         if self._multi_step is None:
             multi = make_gan_multi_step(self._step_fn)
             if self._mesh is not None:

@@ -111,6 +111,12 @@ def main(argv=None) -> None:
     if resume_path:
         start_epoch, current_step = model.resume_training(resume_path)
         logger.info(f"resumed from {resume_path} (epoch {start_epoch}, iter {current_step})")
+        if hasattr(train_loader, "set_position") and len(train_loader) > 0:
+            # restore the data stream: epoch-E shuffle order + mid-epoch
+            # offset, so the resumed run sees the batches the original would
+            train_loader.set_position(
+                start_epoch, current_step - start_epoch * len(train_loader)
+            )
 
     niter = int(opt["train"].get("niter") or 100000)
     val_freq = int(opt["train"].get("val_freq") or 5000)

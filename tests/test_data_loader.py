@@ -1,0 +1,156 @@
+"""Host loader semantics: uint8 H2D contract, stateless (seed, epoch, index)
+crop draws, resumable stream position, and prefetch-thread hygiene
+(SURVEY.md §2.4/§3.5; reference ``codes/data/__init__.py`` loader contract).
+"""
+
+from __future__ import annotations
+
+import gc
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+def _syn(n=8, hr_size=32, image_size=64, seed=0):
+    from esr_tpu.data import create_dataset
+
+    return create_dataset(
+        {
+            "mode": "SYNTHETIC",
+            "phase": "train",
+            "n_images": n,
+            "HR_size": hr_size,
+            "image_size": image_size,
+            "seed": seed,
+        }
+    )
+
+
+def test_train_crops_are_uint8():
+    """On-device pipeline contract: the host ships uint8 (1/4 the H2D bytes
+    of float32); the jitted pipeline normalizes."""
+    ds = _syn()
+    s = ds[0]
+    assert s["HR"].dtype == np.uint8
+    assert s["HR"].shape == (32, 32, 3)
+
+
+def test_lrhr_dataset_uint8_and_file_roundtrip(tmp_path):
+    from esr_tpu.data import create_dataset
+    from esr_tpu.data.util import save_img
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        save_img(rng.integers(0, 256, (48, 40, 3), dtype=np.uint8), str(tmp_path / f"im{i}.png"))
+    ds = create_dataset(
+        {"mode": "LRHR", "phase": "train", "dataroot_HR": str(tmp_path), "HR_size": 16, "scale": 4}
+    )
+    s = ds[1]
+    assert s["HR"].dtype == np.uint8  # PNG sources stay uint8 end-to-end
+    assert s["HR"].shape == (16, 16, 3)
+    # host-processing fallback still produces float (parity path)
+    ds_f = create_dataset(
+        {
+            "mode": "LRHR",
+            "phase": "train",
+            "dataroot_HR": str(tmp_path),
+            "HR_size": 16,
+            "scale": 4,
+            "on_device_processing": False,
+        }
+    )
+    sf = ds_f[1]
+    assert sf["HR"].dtype == np.float32 and sf["LR"].dtype == np.float32
+
+
+def test_stateless_crop_draws():
+    """Crop positions are a pure function of (seed, epoch, index): repeated
+    reads agree, epochs differ, seeds differ."""
+    ds = _syn(seed=3)
+    a = ds[2]["HR"].copy()
+    assert (a == ds[2]["HR"]).all()
+    ds.set_epoch(1)
+    b = ds[2]["HR"].copy()
+    assert not (a == b).all()
+    ds2 = _syn(seed=4)
+    assert not (a == ds2[2]["HR"]).all()
+
+
+def test_loader_resume_replays_exact_stream():
+    """set_position(epoch, k) reproduces exactly the batches a never-
+    interrupted run would have seen from that point (shuffle order AND crop
+    draws) — deterministic resume of the data stream."""
+    from esr_tpu.data import DataLoader
+
+    dl = DataLoader(_syn(), batch_size=2, shuffle=True, seed=5)
+    epochs = [[b["HR"].copy() for b in dl] for _ in range(2)]
+
+    resumed = DataLoader(_syn(), batch_size=2, shuffle=True, seed=5)
+    resumed.set_position(1, 2)  # epoch 1, two batches already consumed
+    got = [b["HR"].copy() for b in resumed]
+    assert len(got) == len(epochs[1]) - 2
+    for g, w in zip(got, epochs[1][2:]):
+        assert (g == w).all()
+    # and the NEXT epoch continues the normal sequence (epoch 2 != epoch 1)
+    nxt = [b["HR"].copy() for b in resumed]
+    assert len(nxt) == len(epochs[1])
+    assert not (nxt[0] == epochs[1][0]).all()
+
+
+def test_loader_epochs_shuffle_differently():
+    from esr_tpu.data import DataLoader
+
+    dl = DataLoader(_syn(), batch_size=2, shuffle=True, seed=0)
+    e0 = [b["HR"].copy() for b in dl]
+    e1 = [b["HR"].copy() for b in dl]
+    assert any(not (a == b).all() for a, b in zip(e0, e1))
+
+
+def test_abandoned_iterator_does_not_leak_worker():
+    """Breaking out of a loader loop (preemption, early stop, exceptions)
+    must release the prefetch thread, not leave it blocked on a full queue."""
+    from esr_tpu.data import DataLoader
+
+    before = threading.active_count()
+    it = iter(DataLoader(_syn(), batch_size=2, prefetch=1))
+    next(it)  # worker is now blocked trying to put batch #2/#3
+    del it
+    gc.collect()
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_loader_surfaces_worker_exception():
+    from esr_tpu.data import DataLoader
+
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(DataLoader(Boom(), batch_size=2))
+
+
+def test_packed_dataset_stateless_draws(tmp_path):
+    from esr_tpu.data import create_dataset
+    from esr_tpu.data.packed import write_packed
+
+    rng = np.random.default_rng(0)
+    write_packed(
+        [rng.integers(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(4)],
+        str(tmp_path / "pack"),
+    )
+    ds = create_dataset(
+        {"mode": "PACKED", "phase": "train", "dataroot_HR": str(tmp_path / "pack"), "HR_size": 8}
+    )
+    a = ds[1]["HR"].copy()
+    assert a.dtype == np.uint8 and (a == ds[1]["HR"]).all()
+    ds.set_epoch(7)
+    assert not (a == ds[1]["HR"]).all()

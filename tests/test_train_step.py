@@ -144,7 +144,9 @@ def test_gan_model_step_and_gating(tmp_path):
     model.feed_data(make_batch())
     g0 = jax.tree.leaves(model.g_state.params)[0].copy()
     d0 = jax.tree.leaves(model.d_state.params)[0].copy()
-    model.optimize_parameters(0)
+    # steps are 1-based (CLI increments before calling; reference gate is
+    # `step % ratio == 0 and step > D_init_iters`) — step 1 updates G and D
+    model.optimize_parameters(1)
     losses = model.get_current_losses()
     for key in ("l_d", "l_g", "l_g_gan", "l_g_range", "l_g_map", "psnr"):
         assert key in losses, losses.keys()
@@ -748,3 +750,95 @@ def test_train_with_custom_kernel_e2e(tmp_path):
     cem_bic = make_cem(CEMConf(scale=4))
     res_b = float(np.abs(np.asarray(cem_bic.downsample(jnp.asarray(sr)[None]))[0] - lr).max())
     assert res_b > 10 * res_k  # and NOT under bicubic (the kernel matters)
+
+
+def test_gan_one_based_gating_semantics(tmp_path):
+    """Reference gate parity (``codes/models/SRRaGAN_model.py`` per SURVEY
+    §2.11): G updates when ``step % D_update_ratio == 0 AND step >
+    D_init_iters`` with 1-based steps (the CLI increments before calling).
+    With D_init_iters=1, step 1 must leave G frozen and step 2 must not."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan")
+    opt["train"]["D_init_iters"] = 1
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    g0 = jax.tree.leaves(model.g_state.params)[0].copy()
+    model.optimize_parameters(1)
+    g1 = jax.tree.leaves(model.g_state.params)[0].copy()
+    assert float(jnp.abs(g1 - g0).max()) == 0  # step == D_init_iters: frozen
+    model.optimize_parameters(2)
+    g2 = jax.tree.leaves(model.g_state.params)[0]
+    assert float(jnp.abs(g2 - g1).max()) > 0  # step > D_init_iters: updates
+
+
+def test_gan_explicit_zero_weights_honored(tmp_path):
+    """An explicit ``gan_weight: 0`` (ablation) must NOT silently fall back
+    to the 0.005 default: the G loss then reduces to the non-GAN terms."""
+    from esr_tpu.models import create_model
+
+    base = tiny_train_opt(tmp_path, model="srragan")
+    base["train"]["gan_weight"] = 0.0
+    base["train"]["range_weight"] = 0.0
+    base["train"]["pixel_weight"] = 1.0
+    model = create_model(base)
+    model.feed_data(make_batch())
+    model.optimize_parameters(1)
+    losses = model.get_current_losses()
+    # l_g must equal the pixel term alone: gan/range contributions are off
+    assert losses["l_g"] == pytest.approx(losses["l_g_pix"], rel=1e-5)
+
+
+def test_g_lr_milestones_track_global_step(tmp_path):
+    """Reference MultiStepLR steps every ITERATION, not every G update: with
+    D_update_ratio=2 and a milestone that zeroes the LR at step 3, the G
+    update at global step 4 must be a no-op (an optimizer-count-keyed
+    schedule would still be pre-milestone there and move G)."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="srragan")
+    opt["train"]["D_update_ratio"] = 2
+    opt["train"]["lr_steps"] = [3]
+    opt["train"]["lr_gamma"] = 0.0  # milestone zeroes the LR: exact observable
+    model = create_model(opt)
+    model.feed_data(make_batch())
+    g0 = jax.tree.leaves(model.g_state.params)[0].copy()
+    model.optimize_parameters(1)  # odd: gated off
+    model.optimize_parameters(2)  # G update at full LR
+    g2 = jax.tree.leaves(model.g_state.params)[0].copy()
+    assert float(jnp.abs(g2 - g0).max()) > 0
+    model.optimize_parameters(3)  # odd: gated off; milestone passes
+    model.optimize_parameters(4)  # G update with POST-milestone LR (= 0)
+    g4 = jax.tree.leaves(model.g_state.params)[0]
+    assert float(jnp.abs(g4 - g2).max()) == 0
+
+
+def test_augment_flags_reach_pipeline_from_dataset_block(tmp_path, monkeypatch):
+    """`use_flip`/`use_rot` live in the dataset block (reference location);
+    both trainers must plumb them into the on-device pipeline."""
+    captured = {}
+
+    def spy(*args, **kwargs):
+        from esr_tpu.data.pipeline import make_train_pipeline
+
+        captured.update(kwargs)
+        return make_train_pipeline(*args, **kwargs)
+
+    import esr_tpu.models.sr_model as srm
+    import esr_tpu.models.srragan_model as srr
+    from esr_tpu.models import create_model
+
+    monkeypatch.setattr(srm, "make_train_pipeline", spy)
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["datasets"]["train"]["use_flip"] = False
+    opt["datasets"]["train"]["use_rot"] = False
+    create_model(opt)
+    assert captured["use_flip"] is False and captured["use_rot"] is False
+
+    captured.clear()
+    monkeypatch.setattr(srr, "make_train_pipeline", spy)
+    opt2 = tiny_train_opt(tmp_path, model="srragan")
+    opt2["datasets"]["train"]["use_flip"] = False
+    opt2["datasets"]["train"]["use_rot"] = False
+    create_model(opt2)
+    assert captured["use_flip"] is False and captured["use_rot"] is False
