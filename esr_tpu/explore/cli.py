@@ -72,12 +72,12 @@ def build_session_from_opt(opt_path: str, lr_path: str):
     # pretrain_model_D artifact ({'params', 'batch_stats'})
     d_state = getattr(model, "d_state", None)
     net_d = opt.get("network_D") or {}
-    nf_d = int(net_d.get("nf") or 64)
     norm_d = "batch" if (net_d.get("norm_type") or "batch") == "batch" else "none"
+    fallback_nf = int(net_d.get("nf") or 64)
     if d_state is not None:
         sess.set_discriminator(
             {"params": d_state.params, "batch_stats": d_state.batch_stats},
-            nf=nf_d,
+            nf=infer_d_nf(d_state.params, fallback_nf),
             norm=norm_d,
         )
     elif opt["path"].get("pretrain_model_D"):
@@ -85,8 +85,22 @@ def build_session_from_opt(opt_path: str, lr_path: str):
         # template: the D's Dense head is sized by the training HR crop, and
         # adversarial_objective infers that size from the checkpoint)
         d_vars = model.load_network(opt["path"]["pretrain_model_D"])
-        sess.set_discriminator(d_vars, nf=nf_d, norm=norm_d)
+        sess.set_discriminator(
+            d_vars, nf=infer_d_nf(d_vars.get("params"), fallback_nf), norm=norm_d
+        )
     return sess
+
+
+def infer_d_nf(params, default: int = 64) -> int:
+    """D width from the checkpoint's first conv (kernel HWIO: (3,3,3,nf)) so
+    an eval opt without a ``network_D`` block — or with a stale ``nf`` —
+    still attaches the D it was actually trained with, instead of a flax
+    shape error (the Dense head is likewise checkpoint-inferred by
+    ``adversarial_objective``)."""
+    try:
+        return int(params["conv0_0"]["kernel"].shape[-1])
+    except (KeyError, AttributeError, TypeError, IndexError):
+        return int(default)
 
 
 def _get_vm(sess):

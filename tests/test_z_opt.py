@@ -337,3 +337,16 @@ def test_d_score_is_region_sensitive(setup):
     sess.select_rect(8, 8, 24, 24)  # 16px bucket, strict subregion
     region = sess.d_score()
     assert region != whole
+
+
+def test_infer_d_nf_from_checkpoint():
+    """Eval opts without a network_D block (or with a stale nf) must attach
+    the D at the width it was trained with — inferred from conv0_0."""
+    import numpy as np
+
+    from esr_tpu.explore.cli import infer_d_nf
+
+    params = {"conv0_0": {"kernel": np.zeros((3, 3, 3, 8), np.float32)}}
+    assert infer_d_nf(params, default=64) == 8
+    assert infer_d_nf({}, default=24) == 24  # malformed tree -> config value
+    assert infer_d_nf(None, default=64) == 64
