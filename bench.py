@@ -164,7 +164,7 @@ def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 30) -> dic
         donate_argnums=(0, 1),
     )
     hr = jnp.asarray(np.random.default_rng(1).random((batch, hr_size, hr_size, 3)), jnp.float32)
-    g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(0))
+    g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(1))
     _ = float(metrics["l_g"])  # warmup + compile fence (host fetch)
     # Steps are dependency-chained through the donated states; fence the
     # timed region with a HOST FETCH of a final-step metric scalar —
@@ -173,7 +173,7 @@ def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 30) -> dic
     # bench 16.2 vs CLI-at-print_freq-20 18.4 steps/s, same session).
     t0 = time.perf_counter()
     for i in range(iters):
-        g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(i + 1))
+        g_state, d_state, metrics = step(g_state, d_state, hr, rng, jnp.int32(i + 2))
     _ = float(metrics["l_g"])
     dt = (time.perf_counter() - t0) / iters
     return {"train_steps_per_s": 1.0 / dt, "sec_per_step": dt}

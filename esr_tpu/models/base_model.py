@@ -30,6 +30,8 @@ __all__ = [
     "make_adam",
     "maybe_dp_step",
     "opt_float",
+    "step_keyed",
+    "unit_schedule",
 ]
 
 
@@ -109,6 +111,25 @@ def make_adam(schedule, beta1: float = 0.9, beta2: float = 0.999, grad_clip: flo
     return tx
 
 
+def step_keyed(schedule):
+    """Shift a count-keyed optax schedule to GLOBAL-STEP keying for an
+    optimizer that updates every step: optax evaluates the k-th update at
+    count k-1, while the reference steps MultiStepLR each iteration before
+    the optimizer — so with 1-based steps the k-th update must read
+    ``schedule(k)``. (G under gated updates can't use this — its update
+    count lags the step — so the GAN step applies its schedule directly;
+    see make_gan_train_step.)"""
+    return lambda count: schedule(count + 1)
+
+
+def unit_schedule(_count):
+    """Constant-1 LR as a *callable* schedule: keeps the optimizer state a
+    ScaleByScheduleState (count) so checkpoints interchange with
+    schedule-keyed optimizers (a float LR would make it an EmptyState and
+    break training-state restore across that change)."""
+    return 1.0
+
+
 # live AsyncCheckpointers, drained once at interpreter exit (weak refs: a
 # collected model's checkpointer need not outlive it just because it was
 # registered for the durability flush)
@@ -181,6 +202,23 @@ class BaseModel:
             return raw
 
         return fwd
+
+    def _prep_batch(self, data: dict):
+        """Host-side batch prep shared by both trainers' per-step and chunked
+        paths: keeps arrays uncommitted (jit places them per the step's
+        in_shardings) and validates the paired-LR contract
+        (``self._paired_lr`` is set by the trainer's __init__)."""
+        import numpy as np
+
+        hr = np.asarray(data["HR"])
+        if not getattr(self, "_paired_lr", False):
+            return hr
+        if data.get("LR") is None:
+            raise ValueError(
+                "dataroot_LR is configured (paired-LR training) but the "
+                "batch carries no LR array — check the dataset/loader"
+            )
+        return {"HR": hr, "LR": np.asarray(data["LR"])}
 
     # -- reference API ----------------------------------------------------
 

@@ -23,6 +23,7 @@ from esr_tpu.models.base_model import (
     make_adam,
     multistep_schedule,
     opt_float,
+    step_keyed,
 )
 from esr_tpu.models.networks import define_G
 from esr_tpu.ops.metrics import psnr_jax
@@ -114,7 +115,9 @@ class SRModel(BaseModel):
             self.schedulers["G"] = sched
             grad_clip = train_opt.get("grad_clip")
             tx = make_adam(
-                sched,
+                # G updates every step here: shift so MultiStepLR milestones
+                # fire at the 1-based global step (base_model.step_keyed)
+                step_keyed(sched),
                 opt_float(train_opt, "beta1_G", 0.9),
                 grad_clip=float(grad_clip) if grad_clip else None,
             )
@@ -145,7 +148,7 @@ class SRModel(BaseModel):
             self.g_module,
             pipeline,
             train_opt.get("pixel_criterion") or "l1",
-            float(train_opt.get("pixel_weight") or 1.0),
+            opt_float(train_opt, "pixel_weight", 1.0),
         )
         self._train_step, self._mesh = maybe_dp_step(
             self._step_fn,
@@ -181,7 +184,7 @@ class SRModel(BaseModel):
         self.step = step
         # rng is a pure function of (seed, step): deterministic resume
         rng = jax.random.fold_in(self._rng, step)
-        batch = self._make_batch()
+        batch = self._prep_batch(self._data)
         self._ensure_placed()
         self.state, metrics = self._train_step(self.state, batch, rng)
         self._losses = metrics
@@ -190,7 +193,7 @@ class SRModel(BaseModel):
         """Run ``k = chunk['HR'].shape[0]`` consecutive train steps in ONE
         dispatch (see :func:`make_sr_multi_step`); trajectory-equivalent to
         k ``feed_data``/``optimize_parameters`` calls."""
-        batches = self._make_batch(chunk)
+        batches = self._prep_batch(chunk)
         k = int(np.asarray(chunk["HR"]).shape[0])
         self._ensure_placed()
         if self._multi_step is None:
@@ -208,18 +211,6 @@ class SRModel(BaseModel):
             self.state, batches, self._rng, jnp.int32(first_step)
         )
         self._losses = metrics
-
-    def _make_batch(self, data: dict | None = None):
-        data = self._data if data is None else data
-        hr = np.asarray(data["HR"])
-        if not self._paired_lr:
-            return hr
-        if data.get("LR") is None:
-            raise ValueError(
-                "dataroot_LR is configured (paired-LR training) but the batch "
-                "carries no LR array — check the dataset/loader"
-            )
-        return {"HR": hr, "LR": np.asarray(data["LR"])}
 
     def test(self, z: np.ndarray | None = None) -> None:
         lr = jnp.asarray(self._data["LR"])

@@ -42,6 +42,8 @@ from esr_tpu.models.base_model import (
     maybe_dp_step,
     multistep_schedule,
     opt_float,
+    step_keyed,
+    unit_schedule,
 )
 from esr_tpu.models.networks import define_D, define_F, define_G
 from esr_tpu.ops.metrics import psnr_jax
@@ -62,7 +64,7 @@ def make_gan_train_step(
     """Build the pure GAN train step (see module docstring).
 
     ``g_lr_schedule``: when given, the G TrainState's optimizer must be built
-    with unit learning rate (``make_adam(1.0, ...)``) and the step applies
+    with unit learning rate (``make_adam(unit_schedule, ...)``) and the step applies
     ``g_lr_schedule(global_step)`` itself. This reproduces the reference
     exactly under gated G updates (``D_update_ratio``/``D_init_iters``):
     torch's MultiStepLR steps every ITERATION while Adam state advances only
@@ -121,9 +123,14 @@ def make_gan_train_step(
                 feat_hr = f_module.apply(f_variables, hr_img)
                 aux["l_g_fea"] = w_feat * L.perceptual_l1(feat_sr, feat_hr)
                 loss += aux["l_g_fea"]
-            logits, _ = d_apply(d_state, jnp.concatenate([hr_img, sr], 0))
-            d_real, d_fake = jnp.split(logits, 2, axis=0)
-            aux["l_g_gan"] = w_gan * L.ragan_g_loss(d_real, d_fake, gan_type, relativistic)
+            if w_gan:
+                logits, _ = d_apply(d_state, jnp.concatenate([hr_img, sr], 0))
+                d_real, d_fake = jnp.split(logits, 2, axis=0)
+                aux["l_g_gan"] = w_gan * L.ragan_g_loss(
+                    d_real, d_fake, gan_type, relativistic
+                )
+            else:  # gan_weight: 0 ablation — skip the D forward entirely
+                aux["l_g_gan"] = jnp.float32(0.0)
             loss += aux["l_g_gan"]
             if w_range:
                 aux["l_g_range"] = w_range * L.range_loss(sr)
@@ -286,20 +293,28 @@ class SRRaGANModel(BaseModel):
             self.schedulers = {"G": g_sched, "D": d_sched}
             # unit-LR Adam: the train step applies g_sched(global_step)
             # itself so MultiStepLR milestones track iterations even under
-            # gated G updates (reference scheduler semantics); Adam state
-            # structure is unchanged, so checkpoints stay compatible
+            # gated G updates (reference scheduler semantics). unit_schedule
+            # is a CALLABLE so the opt_state keeps its ScaleByScheduleState
+            # and earlier training states restore unchanged.
             self.g_state = TrainState.create(
                 apply_fn=self.g_module.apply,
                 params=g_params,
                 tx=make_adam(
-                    1.0, opt_float(train_opt, "beta1_G", 0.9), grad_clip=grad_clip
+                    unit_schedule,
+                    opt_float(train_opt, "beta1_G", 0.9),
+                    grad_clip=grad_clip,
                 ),
             )
             self.d_state = TrainState.create(
                 apply_fn=self.d_module.apply,
                 params=d_vars["params"],
                 tx=make_adam(
-                    d_sched, opt_float(train_opt, "beta1_D", 0.9), grad_clip=grad_clip
+                    # D updates every step: shift so milestones fire at the
+                    # 1-based global step, in lockstep with G's (see
+                    # base_model.step_keyed)
+                    step_keyed(d_sched),
+                    opt_float(train_opt, "beta1_D", 0.9),
+                    grad_clip=grad_clip,
                 ),
                 batch_stats=d_vars.get("batch_stats"),
             )
@@ -359,20 +374,6 @@ class SRRaGANModel(BaseModel):
 
     def feed_data(self, data: dict) -> None:
         self._data = data
-
-    def _prep_batch(self, data: dict):
-        """Host-side batch prep shared by the per-step and chunked paths:
-        keeps arrays uncommitted (jit places them per the step's
-        in_shardings) and validates the paired-LR contract."""
-        hr = np.asarray(data["HR"])
-        if not self._paired_lr:
-            return hr
-        if data.get("LR") is None:
-            raise ValueError(
-                "dataroot_LR is configured (paired-LR training) but the "
-                "batch carries no LR array — check the dataset/loader"
-            )
-        return {"HR": hr, "LR": np.asarray(data["LR"])}
 
     def _ensure_placed(self) -> None:
         if self._mesh is not None and not getattr(self, "_placed", False):

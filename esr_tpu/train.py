@@ -114,9 +114,15 @@ def main(argv=None) -> None:
         if hasattr(train_loader, "set_position") and len(train_loader) > 0:
             # restore the data stream: epoch-E shuffle order + mid-epoch
             # offset, so the resumed run sees the batches the original would
-            train_loader.set_position(
-                start_epoch, current_step - start_epoch * len(train_loader)
-            )
+            offset = current_step - start_epoch * len(train_loader)
+            if not 0 <= offset <= len(train_loader):
+                # stale/misaligned epoch record (e.g. a state saved before
+                # exact step<->batch bookkeeping): derive both from the step
+                # count, which IS the number of batches consumed
+                start_epoch = current_step // len(train_loader)
+                offset = current_step - start_epoch * len(train_loader)
+                logger.info(f"re-aligned resume position to epoch {start_epoch}")
+            train_loader.set_position(start_epoch, offset)
 
     niter = int(opt["train"].get("niter") or 100000)
     val_freq = int(opt["train"].get("val_freq") or 5000)
@@ -189,6 +195,21 @@ def main(argv=None) -> None:
                 logger.info(f"checkpoint saved @ iter {current_step}")
         if current_step >= niter or preempted["flag"]:
             break
+
+    if chunk:
+        # batches pending in an unflushed chunk were already drawn from the
+        # data stream — train on them before saving, otherwise the resumed
+        # replay (set_position) would hand the model DIFFERENT batches for
+        # those step numbers (chunk_limit guarantees this never crosses niter)
+        if len(chunk) == 1:
+            current_step += 1
+            model.update_learning_rate()
+            model.feed_data(chunk[0])
+            model.optimize_parameters(current_step)
+        else:
+            model.optimize_parameters_chunk(current_step + 1, stack_chunk(chunk))
+            current_step += len(chunk)
+        chunk = []
 
     if preempted["flag"]:
         # keep the flag handler installed through the grace-period save: a

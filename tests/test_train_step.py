@@ -103,7 +103,7 @@ def test_sr_model_loss_decreases(tmp_path):
     batch = make_batch()
     model.feed_data(batch)
     losses = []
-    for step in range(8):
+    for step in range(1, 9):
         model.optimize_parameters(step)
         losses.append(model.get_current_losses()["l_pix"])
     assert losses[-1] < losses[0]
@@ -118,7 +118,7 @@ def test_sr_model_determinism(tmp_path):
     for _ in range(2):
         model = create_model(opt)
         model.feed_data(make_batch())
-        for step in range(2):
+        for step in range(1, 3):
             model.optimize_parameters(step)
         runs.append(model.get_current_losses()["l_pix"])
     assert runs[0] == runs[1]
@@ -165,7 +165,7 @@ def test_gan_d_init_iters_gates_g(tmp_path):
     model = create_model(opt)
     model.feed_data(make_batch())
     g0 = jax.tree.leaves(model.g_state.params)[0].copy()
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     g1 = jax.tree.leaves(model.g_state.params)[0]
     assert float(jnp.abs(g1 - g0).max()) == 0  # G frozen until D_init_iters
 
@@ -178,7 +178,7 @@ def test_gan_cem_consistency_after_step(tmp_path):
     opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
     model = create_model(opt)
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     lr = np.random.default_rng(2).random((8, 8, 3)).astype(np.float32)
     model.feed_data({"LR": lr})
     model.test()
@@ -194,7 +194,7 @@ def test_checkpoint_roundtrip(tmp_path):
     opt = tiny_train_opt(tmp_path, model="sr")
     model = create_model(opt)
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     model.save("1")
     model.save_training(epoch=0, iter_step=1)
 
@@ -224,7 +224,7 @@ def test_gan_wgan_gp_variant(tmp_path):
     opt["train"]["gp_weight"] = 10.0
     model = create_model(opt)
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     losses = model.get_current_losses()
     assert np.isfinite(list(losses.values())).all()
 
@@ -257,7 +257,7 @@ def test_trainers_data_parallel_via_dist_flag(tmp_path):
     opt = tiny_train_opt(tmp_path, model="sr")
     single = create_model(opt)
     single.feed_data(batch)
-    single.optimize_parameters(0)
+    single.optimize_parameters(1)
     l_single = single.get_current_losses()["l_pix"]
 
     opt_dp = tiny_train_opt(tmp_path, model="sr")
@@ -265,7 +265,7 @@ def test_trainers_data_parallel_via_dist_flag(tmp_path):
     dp = create_model(opt_dp)
     assert dp._mesh is not None
     dp.feed_data(batch)
-    dp.optimize_parameters(0)
+    dp.optimize_parameters(1)
     l_dp = dp.get_current_losses()["l_pix"]
     assert l_single == pytest.approx(l_dp, rel=1e-5)
 
@@ -274,7 +274,7 @@ def test_trainers_data_parallel_via_dist_flag(tmp_path):
     opt_gan["dist"] = True
     gan = create_model(opt_gan)
     gan.feed_data(batch)
-    gan.optimize_parameters(0)
+    gan.optimize_parameters(1)
     assert np.isfinite(list(gan.get_current_losses().values())).all()
 
 
@@ -320,7 +320,7 @@ def test_custom_kernel_training(tmp_path):
     model = create_model(opt)
     assert model.cem._k1 is not None and len(model.cem._k1) == 9
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     assert np.isfinite(list(model.get_current_losses().values())).all()
     # test-time consistency is w.r.t. the custom kernel
     lr = np.random.default_rng(3).random((8, 8, 3)).astype(np.float32)
@@ -341,7 +341,7 @@ def test_srresnet_trainer_integration(tmp_path):
     opt["network_G"]["nb"] = 2
     model = create_model(opt)
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
@@ -353,7 +353,7 @@ def test_all_layers_latent_trainer(tmp_path):
     opt["network_G"]["latent_input"] = "all_layers"
     model = create_model(opt)
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
@@ -365,7 +365,7 @@ def test_srgan_non_relativistic_variant(tmp_path):
     model = create_model(opt)
     assert model.opt["train"]["relativistic"] is False
     model.feed_data(make_batch())
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
@@ -386,7 +386,7 @@ def test_paired_lr_training_uses_provided_lr(tmp_path):
     lr = np.clip(lr + rng.normal(0, 0.05, lr.size).reshape(lr.shape), 0, 1).astype(np.float32)
 
     model.feed_data({"HR": hr, "LR": lr})
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     l_paired = model.get_current_losses()["l_pix"]
     assert np.isfinite(l_paired)
 
@@ -394,7 +394,7 @@ def test_paired_lr_training_uses_provided_lr(tmp_path):
     opt2 = tiny_train_opt(tmp_path, model="sr")
     model2 = create_model(opt2)
     model2.feed_data({"HR": hr})
-    model2.optimize_parameters(0)
+    model2.optimize_parameters(1)
     assert model2.get_current_losses()["l_pix"] != pytest.approx(l_paired)
 
     # missing LR in the batch -> clear error
@@ -402,7 +402,7 @@ def test_paired_lr_training_uses_provided_lr(tmp_path):
     model3._paired_lr = True
     model3.feed_data({"HR": hr})
     with pytest.raises(ValueError, match="paired-LR"):
-        model3.optimize_parameters(0)
+        model3.optimize_parameters(1)
 
 
 def test_paired_lr_gan_training(tmp_path):
@@ -415,7 +415,7 @@ def test_paired_lr_gan_training(tmp_path):
     hr = rng.random((2, 32, 32, 3)).astype(np.float32)
     lr = hr.reshape(2, 8, 4, 8, 4, 3).mean(axis=(2, 4)).astype(np.float32)
     model.feed_data({"HR": hr, "LR": lr})
-    model.optimize_parameters(0)
+    model.optimize_parameters(1)
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
@@ -433,7 +433,7 @@ def test_grad_clip_wiring(tmp_path):
     s_plain = jax.tree_util.tree_structure(unclipped.state.opt_state)
     assert s_clip != s_plain
     clipped.feed_data(make_batch())
-    clipped.optimize_parameters(0)
+    clipped.optimize_parameters(1)
     assert np.isfinite(clipped.get_current_losses()["l_pix"])
 
     # GAN trainer accepts it too
@@ -441,7 +441,7 @@ def test_grad_clip_wiring(tmp_path):
     opt_g["train"]["grad_clip"] = 1.0
     gan = create_model(opt_g)
     gan.feed_data(make_batch())
-    gan.optimize_parameters(0)
+    gan.optimize_parameters(1)
     assert np.isfinite(list(gan.get_current_losses().values())).all()
 
 
@@ -473,7 +473,7 @@ def test_auto_dp_when_batch_divides(tmp_path):
     capped = create_model(opt_cap)
     assert capped._mesh is not None and capped._mesh.shape["data"] == 2
     capped.feed_data(make_batch(n=8))
-    capped.optimize_parameters(0)
+    capped.optimize_parameters(1)
     assert np.isfinite(capped.get_current_losses()["l_pix"])
 
 
