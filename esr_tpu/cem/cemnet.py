@@ -171,7 +171,7 @@ class CEM:
 
     # -- (H H^T)^{-1} ------------------------------------------------------
 
-    def _q_freq(self, h: int, w: int, dtype) -> jax.Array:
+    def _q_freq(self, h: int, w: int) -> jax.Array:
         """FFT of the LR autocorrelation kernel embedded on an (h, w) grid."""
         q = np.zeros((h, w))
         qh, qw = self._q.shape
@@ -206,7 +206,7 @@ class CEM:
                 precision=jax.lax.Precision.HIGHEST,
             )
         h, w = y.shape[-3], y.shape[-2]
-        fq = self._q_freq(h, w, y.dtype)
+        fq = self._q_freq(h, w)
         # eps floor on magnitude to avoid division blowup (reference mechanism)
         mag = jnp.abs(fq)
         fq_safe = jnp.where(mag < self.conf.eps, self.conf.eps, mag) * jnp.exp(

@@ -14,6 +14,7 @@ from esr_tpu.data.pipeline import draw_z, make_train_pipeline
 __all__ = [
     "create_dataset",
     "create_dataloader",
+    "collate_samples",
     "LRHRDataset",
     "LRDataset",
     "SyntheticDataset",
@@ -42,6 +43,20 @@ def create_dataset(dataset_opt: dict):
 
         return PackedDataset(dataset_opt)
     raise NotImplementedError(f"dataset mode {mode} not recognized")
+
+
+def collate_samples(samples, collate_keys=("LR", "HR")) -> dict:
+    """Stack per-sample dicts into a batch dict: array keys in
+    ``collate_keys`` are np.stack'ed (None if any sample lacks them),
+    everything else (paths, metadata) becomes a list."""
+    batch = {}
+    for key in collate_keys:
+        vals = [s.get(key) for s in samples]
+        batch[key] = None if any(v is None for v in vals) else np.stack(vals)
+    for key in samples[0]:
+        if key not in collate_keys:
+            batch[key] = [s[key] for s in samples]
+    return batch
 
 
 class DataLoader:
@@ -78,17 +93,7 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _collate(self, samples):
-        batch = {}
-        for key in self.collate_keys:
-            vals = [s.get(key) for s in samples]
-            if any(v is None for v in vals):
-                batch[key] = None
-            else:
-                batch[key] = np.stack(vals)
-        for key in samples[0]:
-            if key not in self.collate_keys:
-                batch[key] = [s[key] for s in samples]
-        return batch
+        return collate_samples(samples, self.collate_keys)
 
     def _indices(self):
         n = len(self.dataset)
@@ -167,11 +172,14 @@ def create_dataloader(dataset, dataset_opt: dict):
     return DataLoader(dataset, batch_size=1, shuffle=False, drop_last=False)
 
 
-def create_grain_loader(dataset, dataset_opt: dict):
+def create_grain_loader(dataset, dataset_opt: dict, collate_keys=("LR", "HR")):
     """Optional grain-based loader (SURVEY.md §7.6: grain is the idiomatic
-    host-side loader). Same batch-dict contract as DataLoader; worker_count
-    maps from the reference's ``n_workers``. Falls back with ImportError when
-    grain is unavailable."""
+    host-side loader). Yields the SAME collated batch dicts as DataLoader —
+    grain shuffles and (optionally) fans decode out over ``n_workers``
+    subprocesses, and collation happens here via :func:`collate_samples`
+    (sample dicts carry None LRs and path strings, which grain.Batch would
+    np-stack into object arrays). One epoch per iteration, drop_last.
+    Raises ImportError when grain is unavailable."""
     import grain.python as grain
 
     class _Source(grain.RandomAccessDataSource):
@@ -186,23 +194,21 @@ def create_grain_loader(dataset, dataset_opt: dict):
         num_records=len(dataset),
         shuffle=bool(dataset_opt.get("use_shuffle", True)),
         seed=int(dataset_opt.get("seed") or 0),
-        num_epochs=None,
+        num_epochs=1,
         shard_options=grain.NoSharding(),
     )
-
-    def _collate(samples):
-        batch = {}
-        for key in ("LR", "HR"):
-            vals = [s.get(key) for s in samples]
-            batch[key] = None if any(v is None for v in vals) else np.stack(vals)
-        for key in samples[0]:
-            if key not in ("LR", "HR"):
-                batch[key] = [s[key] for s in samples]
-        return batch
-
-    return grain.DataLoader(
+    loader = grain.DataLoader(
         data_source=_Source(),
         sampler=sampler,
         worker_count=int(dataset_opt.get("n_workers") or 0),
-        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
-    ), _collate
+    )
+
+    def batches():
+        buf = []
+        for sample in loader:
+            buf.append(sample)
+            if len(buf) == batch_size:
+                yield collate_samples(buf, collate_keys)
+                buf = []
+
+    return batches()

@@ -87,8 +87,15 @@ def make_train_pipeline(
         rng_aug, rng_z = jax.random.split(rng)
 
         if use_flip or use_rot:
-            max_code = 8 if use_rot else 2
-            codes = jax.random.randint(rng_aug, (n,), 0, max_code)
+            if use_flip and use_rot:
+                codes = jax.random.randint(rng_aug, (n,), 0, 8)
+            elif use_flip:  # hflip only: {I, H}
+                codes = jax.random.randint(rng_aug, (n,), 0, 2)
+            else:
+                # rot-only subgroup {I, V, T, T.V} — matches the host path
+                # (data/util.py augment with hflip=False: vflip/rot90 only)
+                rot_codes = jnp.asarray([0, 2, 4, 5], jnp.int32)
+                codes = rot_codes[jax.random.randint(rng_aug, (n,), 0, 4)]
             hr = jax.vmap(dihedral_transform)(hr, codes)
             if lr_in is not None:  # same symmetry keeps the pair aligned
                 lr_in = jax.vmap(dihedral_transform)(_norm(lr_in), codes)

@@ -17,7 +17,7 @@ gathers, no dynamic shapes, fully fusable by XLA with surrounding ops.
 
 from __future__ import annotations
 
-import functools
+import collections
 import math
 
 import jax
@@ -49,8 +49,28 @@ def _reflect_index(idx: np.ndarray, n: int) -> np.ndarray:
     return np.where(idx >= n, period - 1 - idx, idx)
 
 
-@functools.lru_cache(maxsize=256)
+# Byte-bounded LRU for the dense f64 matrices: varied-size eval sets (e.g.
+# DIV2K val at ~2040 px, ~8 MB per axis entry) must not pin GBs of host RAM
+# on the single-core host that also runs the data loader.
+_MAT_CACHE: collections.OrderedDict = collections.OrderedDict()
+_MAT_CACHE_BUDGET = 128 * 2**20
+
+
 def _resize_matrix_cached(in_len: int, out_len: int, antialias: bool) -> np.ndarray:
+    key = (in_len, out_len, antialias)
+    if key in _MAT_CACHE:
+        _MAT_CACHE.move_to_end(key)
+        return _MAT_CACHE[key]
+    mat = _build_resize_matrix(in_len, out_len, antialias)
+    _MAT_CACHE[key] = mat
+    total = sum(m.nbytes for m in _MAT_CACHE.values())
+    while total > _MAT_CACHE_BUDGET and len(_MAT_CACHE) > 1:
+        _, old = _MAT_CACHE.popitem(last=False)
+        total -= old.nbytes
+    return mat
+
+
+def _build_resize_matrix(in_len: int, out_len: int, antialias: bool) -> np.ndarray:
     scale = out_len / in_len
     base_width = 4.0  # cubic kernel support
     if scale < 1.0 and antialias:

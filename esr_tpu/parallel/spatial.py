@@ -232,7 +232,9 @@ def tiled_forward(
                 overlap * scale : (tile - overlap) * scale,
                 overlap * scale : (tile - overlap) * scale,
             ]
-            out = jax.lax.dynamic_update_slice(out, inner, (0, y * scale, x * scale, 0))
+            out = jax.lax.dynamic_update_slice(
+                out, inner.astype(out.dtype), (0, y * scale, x * scale, 0)
+            )
     out = out[:, : h * scale, : w * scale]
     if cem is not None:
         out = cem.project(out, lr)

@@ -28,9 +28,14 @@ def main(argv=None) -> None:
 
     os.makedirs(args.output, exist_ok=True)
     n_out = 0
+    n_skipped = 0
     for p in get_image_paths(args.input):
         img = read_img(p)
         h, w = img.shape[:2]
+        if h < args.crop_size or w < args.crop_size:
+            print(f"skip {p}: {h}x{w} smaller than crop_size {args.crop_size}")
+            n_skipped += 1
+            continue
         base = os.path.splitext(os.path.basename(p))[0]
         ys = list(range(0, h - args.crop_size + 1, args.step))
         xs = list(range(0, w - args.crop_size + 1, args.step))
@@ -47,7 +52,8 @@ def main(argv=None) -> None:
                     tensor2img(sub), os.path.join(args.output, f"{base}_s{idx:03d}.png")
                 )
                 n_out += 1
-    print(f"wrote {n_out} sub-images to {args.output}")
+    skipped = f" ({n_skipped} undersized inputs skipped)" if n_skipped else ""
+    print(f"wrote {n_out} sub-images to {args.output}{skipped}")
 
 
 if __name__ == "__main__":

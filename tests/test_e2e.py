@@ -114,6 +114,33 @@ def test_device_pipeline_lr_matches_host():
         )
 
 
+def test_device_pipeline_rot_only_excludes_flips():
+    """use_rot=True + use_flip=False must draw only the 4-element rot-only
+    subgroup {I, V, T, T.V} — matching the host augment(hflip=False) — and in
+    particular never a pure horizontal flip (r3 review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.data.pipeline import dihedral_transform, make_train_pipeline
+
+    rng = np.random.default_rng(2)
+    base = rng.random((16, 16, 3)).astype(np.float32)  # all 8 transforms distinct
+    hr = np.broadcast_to(base, (64, 16, 16, 3)).copy()
+    pipe = jax.jit(make_train_pipeline(scale=4, use_flip=False, use_rot=True))
+    out = np.asarray(pipe(jnp.asarray(hr), jax.random.PRNGKey(3))["HR"])
+    transforms = {
+        c: np.asarray(dihedral_transform(jnp.asarray(base), jnp.int32(c)))
+        for c in range(8)
+    }
+    seen = set()
+    for i in range(64):
+        matches = [c for c, t in transforms.items() if np.allclose(out[i], t)]
+        assert len(matches) == 1
+        seen.add(matches[0])
+    assert seen <= {0, 2, 4, 5}, seen  # rot-only subgroup
+    assert len(seen) == 4  # and all four elements are actually drawn
+
+
 def test_device_pipeline_augment_and_z():
     import jax
     import jax.numpy as jnp
@@ -212,15 +239,13 @@ def test_grain_loader_adapter():
     ds = create_dataset(
         {"mode": "SYNTHETIC", "phase": "train", "HR_size": 16, "n_images": 6, "image_size": 32}
     )
-    loader, collate = create_grain_loader(ds, {"batch_size": 2, "n_workers": 0, "use_shuffle": True})
-    it = iter(loader)
-    raw = next(it)
-    batch = collate(list(raw)) if isinstance(raw, (list, tuple)) else raw
-    hr = batch["HR"] if isinstance(batch, dict) else None
-    if hr is None:  # grain yields pre-batched list of samples
-        batch = collate(raw)
-        hr = batch["HR"]
-    assert np.asarray(hr).shape[0] == 2
+    loader = create_grain_loader(ds, {"batch_size": 2, "n_workers": 0, "use_shuffle": True})
+    batches = list(loader)
+    assert len(batches) == 3  # 6 samples / batch 2, one epoch, drop_last
+    for batch in batches:
+        assert batch["HR"].shape[0] == 2
+        assert batch["HR"].dtype == np.uint8  # host crops ship uint8
+        assert isinstance(batch["HR_path"], list) and len(batch["HR_path"]) == 2
 
 
 def test_dihedral_transform_group_properties():

@@ -186,6 +186,20 @@ def test_tiled_forward_matches_full():
     assert errs[12] < errs[4], errs
 
 
+def test_tiled_forward_bf16_generator():
+    """The stitch buffer is f32; a bf16-compute generator (the repo default)
+    must be cast on update, not crash dynamic_update_slice (r3 review)."""
+    model, params = _tiny_setup()
+
+    def apply_fn(p, lr, z=None):
+        return model.apply({"params": p}, lr.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+
+    lr = jnp.asarray(np.random.default_rng(4).random((1, 40, 40, 3)), jnp.float32)
+    out = tiled_forward(apply_fn, params, lr, tile=32, overlap=4, scale=4)
+    assert out.shape == (1, 160, 160, 3)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_multihost_helpers_single_process():
     """Degenerate single-process paths of the multi-host scaffolding."""
     from esr_tpu.parallel.multihost import global_device_array, host_shard, init_distributed

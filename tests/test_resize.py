@@ -129,3 +129,26 @@ def test_matlab_golden_values():
     # border values are regression-locked from the float64 direct algorithm
     direct = reference_imresize_1d(x, 16)
     np.testing.assert_allclose(out, direct, atol=1e-12)
+
+
+def test_resize_matrix_cache_byte_bounded():
+    """The dense-matrix cache evicts LRU entries past its byte budget so
+    varied-size eval sets can't pin GBs of host RAM (r3 review finding)."""
+    from esr_tpu.ops import resize as rz
+
+    rz._MAT_CACHE.clear()
+    # each (510, 2040) f64 matrix is ~8.3 MB; drive well past a small budget
+    old_budget, rz._MAT_CACHE_BUDGET = rz._MAT_CACHE_BUDGET, 32 * 2**20
+    try:
+        for k in range(8):
+            resize_matrix(2040 + 4 * k, (2040 + 4 * k) // 4)
+        total = sum(m.nbytes for m in rz._MAT_CACHE.values())
+        assert total <= 32 * 2**20, total
+        assert len(rz._MAT_CACHE) >= 1
+        # the most recent entry survives and hits
+        m1 = rz._resize_matrix_cached(2040 + 28, (2040 + 28) // 4, True)
+        m2 = rz._resize_matrix_cached(2040 + 28, (2040 + 28) // 4, True)
+        assert m1 is m2
+    finally:
+        rz._MAT_CACHE_BUDGET = old_budget
+        rz._MAT_CACHE.clear()
