@@ -77,6 +77,9 @@ INVENTORY = {
     "onboarding: one-command quickstart tour": ("esr_tpu.scripts.quickstart", "main"),
     "2.2 parity evaluator (driver metric #3)": ("esr_tpu.scripts.parity_eval", "run_parity_eval"),
     "5.5 device-side uint8 eval fetch": ("esr_tpu.ops.color", "to_uint8_jax"),
+    "serving: AOT StableHLO export": ("esr_tpu.export", "export_servable"),
+    "serving: model-code-free loader": ("esr_tpu.export", "load_servable"),
+    "serving: export CLI": ("esr_tpu.scripts.export_model", "main"),
 }
 
 
