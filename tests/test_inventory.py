@@ -80,6 +80,9 @@ INVENTORY = {
     "serving: AOT StableHLO export": ("esr_tpu.export", "export_servable"),
     "serving: model-code-free loader": ("esr_tpu.export", "load_servable"),
     "serving: export CLI": ("esr_tpu.scripts.export_model", "main"),
+    "serving: HTTP daemon": ("esr_tpu.scripts.serve", "make_server"),
+    "blind-SR: KernelGAN-style estimator": ("esr_tpu.cem.kernelgan", "estimate_kernel"),
+    "blind-SR: estimator CLI": ("esr_tpu.scripts.estimate_kernel", "main"),
 }
 
 
