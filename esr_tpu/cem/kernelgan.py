@@ -10,9 +10,10 @@ Method (Bell-Kligler et al., "Blind Super-Resolution Kernel Estimation using
 an Internal-GAN", NeurIPS 2019 — PAPERS.md lineage; reconstructed from the
 public paper, no reference code involved):
 
-- **G is a deep LINEAR conv net** (no bias, no nonlinearity) ending in an
-  s-stride subsample, so whatever it learns IS a single stationary
-  downsampling kernel — its impulse response.
+- **G is a deep LINEAR conv net** (no bias, no nonlinearity, VALID padding
+  as in the paper) ending in an s-stride subsample, so whatever it learns
+  IS a single stationary downsampling kernel — its impulse response — and
+  its outputs carry no padding artifacts D could key on.
 - **D is a small fully-convolutional patch discriminator** trained to tell
   real LR patches from G-downscaled larger LR crops. The internal patch
   recurrence of natural images makes the correct kernel the equilibrium.
@@ -49,7 +50,7 @@ class KernelGANConf:
     g_channels: int = 64
     d_kernels: tuple = (7, 1, 1, 1, 1)
     d_channels: int = 64
-    g_input: int = 64  # G crop (LR px); D patches are g_input//scale
+    g_input: int = 64  # G crop (LR px); D patches are _fake_size(conf) px
     lr_g: float = 2e-3
     lr_d: float = 2e-3
     iters: int = 2000
@@ -62,9 +63,13 @@ class KernelGANConf:
 
 
 class LinearKernelG(nn.Module):
-    """Deep linear generator: stride-1 no-bias convs, then ::s subsample.
-    Linearity means G == one stationary kernel; depth only shapes the
-    optimization landscape (implicit regularization, per the paper)."""
+    """Deep linear generator: stride-1 no-bias VALID convs, then ::s
+    subsample. Linearity means G == one stationary kernel; depth only shapes
+    the optimization landscape (implicit regularization, per the paper).
+    VALID padding (as in the paper) means the output carries NO zero-pad
+    border contamination — every output pixel is a clean window of the
+    input, so the discriminator never sees a padding artifact it could use
+    as a real/fake tell."""
 
     conf: KernelGANConf
 
@@ -74,7 +79,7 @@ class LinearKernelG(nn.Module):
         for i, k in enumerate(c.g_kernels):
             feats = 1 if i == len(c.g_kernels) - 1 else c.g_channels
             x = nn.Conv(
-                feats, (k, k), padding="SAME", use_bias=False,
+                feats, (k, k), padding="VALID", use_bias=False,
                 param_dtype=jnp.float32, name=f"conv{i}",
             )(x)
         if stride:
@@ -106,20 +111,31 @@ def _support(conf: KernelGANConf) -> int:
     return sum(k - 1 for k in conf.g_kernels) + 1
 
 
+def _d_receptive(conf: KernelGANConf) -> int:
+    return sum(k - 1 for k in conf.d_kernels) + 1
+
+
+def _fake_size(conf: KernelGANConf) -> int:
+    """LR-domain patch size G produces from a ``g_input`` crop: VALID convs
+    shrink by support-1, then ::s keeps ceil(L/s) samples. Real crops are
+    drawn at exactly this size, so D compares equal spatial supports for ANY
+    scale (no divisibility requirement)."""
+    flat = conf.g_input - _support(conf) + 1
+    return -(-flat // conf.scale)
+
+
 def effective_kernel(g_module: LinearKernelG, g_params, conf: KernelGANConf):
     """The impulse response of the (stride-less) linear G as an explicit
     (support, support) kernel, in CORRELATION convention — i.e.
-    ``G(x, stride=False)[i] == sum_t k[t] * x[i + t - center]`` so that
+    ``G(x, stride=False)[i] == sum_t k[t] * x[i + t]`` (VALID windows), so
     downstream consumers (CEM's ``conv_general_dilated``, the data
     pipeline) can use it directly. A centered delta probe returns the
     FLIPPED kernel under cross-correlation, hence the final flip; the
     algebra is pinned by ``test_effective_kernel_is_exact``."""
     sup = _support(conf)
-    n = 2 * sup + 1  # margin so SAME-pad boundary effects can't reach center
+    n = 2 * sup - 1  # VALID response to a centered delta is exactly (sup, sup)
     delta = jnp.zeros((1, n, n, 1)).at[0, n // 2, n // 2, 0].set(1.0)
-    resp = g_module.apply({"params": g_params}, delta, stride=False)[0, :, :, 0]
-    c, r = n // 2, sup // 2
-    k = resp[c - r : c + r + 1, c - r : c + r + 1]
+    k = g_module.apply({"params": g_params}, delta, stride=False)[0, :, :, 0]
     return k[::-1, ::-1]
 
 
@@ -156,15 +172,16 @@ def _rand_crop(img, rng, size: int):
     return jax.lax.dynamic_slice(img, (oy, ox, 0), (size, size, 1))[None]
 
 
-def make_kernelgan_step(g_module, d_module, conf: KernelGANConf, img_shape):
+def make_kernelgan_step(g_module, d_module, conf: KernelGANConf):
     """One (G update, D update) iteration as a pure function
-    ``(g_state, d_state, img, rng) -> (g_state', d_state', metrics)``."""
-    del img_shape  # shapes are static per jit trace anyway
+    ``(g_state, d_state, img, rng) -> (g_state', d_state', metrics)``.
+    Fake patches are VALID-conv products (no pad artifacts); real crops are
+    drawn at the same size so D compares like with like."""
 
     def step(g_state, d_state, img, rng):
-        rng_g, rng_real, rng_fake = jax.random.split(rng, 3)
+        rng_real, rng_fake = jax.random.split(rng)
         g_in = _rand_crop(img, rng_fake, conf.g_input)
-        real = _rand_crop(img, rng_real, conf.g_input // conf.scale)
+        real = _rand_crop(img, rng_real, _fake_size(conf))
 
         def g_loss_fn(g_params):
             fake = g_module.apply({"params": g_params}, g_in)
@@ -220,25 +237,42 @@ def estimate_kernel(
             f"image {img.shape} smaller than g_input {conf.g_input}; "
             "shrink KernelGANConf.g_input"
         )
+    if conf.g_input < _support(conf):
+        raise ValueError(
+            f"g_input {conf.g_input} smaller than the composite G support "
+            f"{_support(conf)}; enlarge g_input or shrink g_kernels"
+        )
     img = jnp.asarray(img[..., None])
 
     g_module = LinearKernelG(conf)
-    d_module = PatchD(conf)
     rng = jax.random.PRNGKey(conf.seed)
     r_g, r_d, r_train = jax.random.split(rng, 3)
     probe = jnp.zeros((1, conf.g_input, conf.g_input, 1))
     g_params = g_module.init(r_g, probe)["params"]
-    d_params = d_module.init(r_d, probe[:, :: conf.scale, :: conf.scale])["params"]
     g_state = TrainState.create(
         apply_fn=g_module.apply, params=g_params, tx=optax.adam(conf.lr_g, b1=0.5)
     )
-    d_state = TrainState.create(
-        apply_fn=d_module.apply, params=d_params, tx=optax.adam(conf.lr_d, b1=0.5)
-    )
 
-    step = make_kernelgan_step(g_module, d_module, conf, img.shape)
     if loss_override is not None:
+        # supervised/test path: D plays no role — skip its init entirely and
+        # carry an empty pytree through the scan
+        d_state = None
         step = _override_step(g_module, conf, loss_override)
+    else:
+        if _fake_size(conf) < _d_receptive(conf):
+            raise ValueError(
+                f"G produces {_fake_size(conf)}px LR patches from g_input "
+                f"{conf.g_input} (VALID support {_support(conf)}, scale "
+                f"{conf.scale}) but D's receptive field is {_d_receptive(conf)}px;"
+                " enlarge g_input or shrink d_kernels"
+            )
+        d_module = PatchD(conf)
+        d_probe = jnp.zeros((1, _fake_size(conf), _fake_size(conf), 1))
+        d_params = d_module.init(r_d, d_probe)["params"]
+        d_state = TrainState.create(
+            apply_fn=d_module.apply, params=d_params, tx=optax.adam(conf.lr_d, b1=0.5)
+        )
+        step = make_kernelgan_step(g_module, d_module, conf)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
     def chunk_fn(g_state, d_state, rng0, n_chunk):

@@ -6,7 +6,7 @@ spatial-fold and all — ``BaseModel._make_forward``) per LR shape bucket via
 ``jax.export``, with weights as an orbax tree alongside::
 
     python -m esr_tpu.scripts.export_model \
-        -opt esr_tpu/options/test/test_ESRGAN_explorable.json \
+        -opt esr_tpu/options/test/test_explorable.json \
         --shapes 1x128x128,4x128x128,1x256x256 --out /path/artifact_dir
 
 A server then needs only ``esr_tpu.export.load_servable`` (jax + orbax, no

@@ -12,7 +12,8 @@ Protocol (kept deliberately dumb — one request = one image):
 
 - ``POST /sr`` with a PNG/JPEG body -> PNG SR image. Optional headers:
   ``X-Z-Mode: zeros|random`` (default zeros) and ``X-Z-Seed: <int>`` for
-  reproducible random-Z draws on explorable artifacts.
+  reproducible random-Z draws on explorable artifacts; ``random`` without a
+  seed draws fresh entropy per request (a different SR every time).
 - ``GET /healthz`` -> 200 once the artifact is loaded; body is the manifest
   (JSON), so orchestration can read scale/buckets/platforms.
 
@@ -43,9 +44,10 @@ def _decode_image(body: bytes) -> np.ndarray:
 def _encode_png(sr: np.ndarray) -> bytes:
     from PIL import Image
 
-    u8 = np.round(np.clip(sr, 0.0, 1.0) * 255.0).astype(np.uint8)
+    from esr_tpu.ops.color import tensor2img
+
     buf = io.BytesIO()
-    Image.fromarray(u8).save(buf, format="PNG")
+    Image.fromarray(tensor2img(sr)).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -84,19 +86,27 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 8008):
                 return
             try:
                 n = int(self.headers.get("Content-Length") or 0)
-                lr = _decode_image(self.rfile.read(n))
+                body = self.rfile.read(n)
+                try:
+                    lr = _decode_image(body)
+                except Exception as e:  # noqa: BLE001 — PIL raises OSError
+                    # subclasses (UnidentifiedImageError) on junk bodies;
+                    # any decode failure is the client's fault
+                    self._reply(400, f"bad image: {e}".encode(), "text/plain")
+                    return
                 z = None
                 if servable.nz and (
                     (self.headers.get("X-Z-Mode") or "zeros").lower() == "random"
                 ):
-                    seed = int(self.headers.get("X-Z-Seed") or 0)
-                    z = np.random.default_rng(seed).uniform(
+                    seed = self.headers.get("X-Z-Seed")
+                    rng = np.random.default_rng(None if seed is None else int(seed))
+                    z = rng.uniform(
                         -1, 1, lr.shape[:2] + (servable.nz,)
                     ).astype(np.float32)
                 with lock:
                     sr = servable.sr(lr, z)[0]
                 self._reply(200, _encode_png(sr), "image/png")
-            except ValueError as e:  # no fitting bucket, bad z, bad image
+            except ValueError as e:  # no fitting bucket, bad z/seed
                 self._reply(400, str(e).encode(), "text/plain")
             except Exception as e:  # noqa: BLE001 — surface, don't kill the daemon
                 self._reply(500, f"{type(e).__name__}: {e}".encode(), "text/plain")

@@ -39,12 +39,11 @@ def _gaussian_kernel(sup=13, sx=2.4, sy=1.4, theta=0.5):
 
 
 def test_effective_kernel_is_exact():
-    """G(x, stride=False) must equal the CENTERED stride-1 correlation with
-    the extracted kernel in the interior (SAME borders differ between the
-    layered net and the single conv — expected), and the strided G output is
-    exactly its phase-0 subsample. NOTE: a strided-SAME lax conv is NOT the
-    right oracle — its asymmetric padding shifts the window center by 2 px
-    vs the centered stride-1 layers."""
+    """G(x, stride=False) — a stack of VALID convs — must equal the single
+    VALID correlation with the extracted kernel EVERYWHERE (no borders to
+    exclude: every VALID output pixel is a clean window of the input), and
+    the strided G output is exactly its phase-0 subsample. The centered
+    SAME oracle's output at position i+sup//2 is the VALID output at i."""
     import jax
     import jax.numpy as jnp
 
@@ -61,12 +60,12 @@ def test_effective_kernel_is_exact():
             x,
             jnp.asarray(k)[:, :, None, None],
             (1, 1),
-            "SAME",
+            "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     )
-    m = 7  # interior margin covering the support's border band
-    np.testing.assert_allclose(flat[:, m:-m, m:-m], want[:, m:-m, m:-m], atol=1e-5)
+    assert flat.shape == want.shape == (1, 52, 52, 1)
+    np.testing.assert_allclose(flat, want, atol=1e-5)
 
     strided = np.asarray(g.apply({"params": params}, x))
     s = TINY.scale
@@ -101,15 +100,18 @@ def test_supervised_recovery():
     kt = jnp.asarray(k_true, jnp.float32)[:, :, None, None]
 
     def oracle_down(x):
-        # phase-aligned with LinearKernelG: centered stride-1 corr, then ::s
+        # phase-aligned with VALID LinearKernelG: G's fake[j] is the window
+        # anchored at j*s, i.e. the CENTERED correlation at j*s + sup//2 —
+        # slice the SAME oracle on that offset grid (all windows interior)
         full = jax.lax.conv_general_dilated(
             x, kt, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
-        return full[:, ::4, ::4]
+        off = k_true.shape[0] // 2
+        return full[:, off::4, off::4]
 
     def loss_override(fake, g_in):
-        m = 3  # compare away from SAME-pad borders (see exactness test)
-        return jnp.mean((fake[:, m:-m, m:-m] - oracle_down(g_in)[:, m:-m, m:-m]) ** 2)
+        o = oracle_down(g_in)[:, : fake.shape[1], : fake.shape[2]]
+        return jnp.mean((fake - o) ** 2)
 
     # Regularizers are deliberately weakened here: with a perfectly
     # informative supervised data term they only BIAS the solution (at the
@@ -187,6 +189,7 @@ def test_cli(tmp_path):
     p = str(tmp_path / "lr.png")
     Image.fromarray(img).save(p)
     out = str(tmp_path / "k.npy")
-    main(["--lr", p, "--scale", "4", "--iters", "20", "--g_input", "32", "--out", out])
+    # g_input 48: VALID support 21 leaves 28px -> 7px LR fakes = D's receptive
+    main(["--lr", p, "--scale", "4", "--iters", "20", "--g_input", "48", "--out", out])
     k = np.load(out)
     assert k.ndim == 2 and abs(k.sum() - 1.0) < 1e-6
