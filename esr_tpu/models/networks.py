@@ -36,6 +36,8 @@ __all__ = [
     "init_params",
     "load_rrdb_from_torch",
     "load_vgg19_from_torch",
+    "rrdb_to_torch",
+    "discriminator_to_torch",
 ]
 
 
@@ -249,6 +251,96 @@ def load_discriminator_from_torch(state_dict: dict) -> dict:
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats
+    return out
+
+
+def _j2t_conv(k: "Any") -> np.ndarray:
+    k = np.asarray(k, dtype=np.float32)
+    return np.transpose(k, (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def rrdb_to_torch(params: dict) -> dict:
+    """Our RRDBNet params (scan or unrolled layout) -> a torch-style ESRGAN
+    state_dict (new-style keys: ``conv_first`` / ``RRDB_trunk.{i}.RDB{j}.
+    conv{k}`` / ``trunk_conv`` / ``upconv{n}`` / ``HRconv`` / ``conv_last``),
+    numpy values in OIHW. Inverse of :func:`load_rrdb_from_torch` — lets a
+    checkpoint trained here round-trip back to the reference ecosystem
+    (SURVEY.md §5.4; the reference loads exactly these keys). Per-block
+    latent projections (``latent_input='all_layers'``, a fork-only concept
+    with no reference key) are exported as ``latent_proj.{i}.weight/bias``.
+    """
+    if "params" in params and "conv_first" not in params:
+        params = params["params"]
+    out: dict = {}
+
+    def put(name: str, conv: dict) -> None:
+        c = conv["Conv_0"] if "Conv_0" in conv else conv
+        out[name + ".weight"] = _j2t_conv(c["kernel"])
+        out[name + ".bias"] = np.asarray(c["bias"], dtype=np.float32)
+
+    blocks: list = []
+    projs: list = []
+    if "rrdb_scan" in params:
+        stacked = params["rrdb_scan"]["block"]
+        nb = int(jax.tree.leaves(stacked)[0].shape[0])
+        blocks = [jax.tree.map(lambda x, i=i: x[i], stacked) for i in range(nb)]
+        if "latent_proj" in params["rrdb_scan"]:
+            sp = params["rrdb_scan"]["latent_proj"]
+            projs = [jax.tree.map(lambda x, i=i: x[i], sp) for i in range(nb)]
+    else:
+        nb = sum(1 for k in params if re.fullmatch(r"rrdb\d+", k))
+        blocks = [params[f"rrdb{i}"] for i in range(nb)]
+        projs = [params[f"latent_proj{i}"] for i in range(nb) if f"latent_proj{i}" in params]
+
+    for name in ("conv_first", "trunk_conv", "HRconv", "conv_last"):
+        put(name, params[name])
+    for i, blk in enumerate(blocks):
+        for j in (1, 2, 3):
+            for k in range(1, 6):
+                put(f"RRDB_trunk.{i}.RDB{j}.conv{k}", blk[f"rdb{j}"][f"conv{k}"])
+    for i, p in enumerate(projs):
+        put(f"latent_proj.{i}", p)
+    i = 1
+    while f"upconv{i}" in params:
+        put(f"upconv{i}", params[f"upconv{i}"])
+        i += 1
+    return out
+
+
+def discriminator_to_torch(variables: dict) -> dict:
+    """Our DiscriminatorVGG128 variables ({'params'[, 'batch_stats']}) ->
+    torch Discriminator_VGG_128 state_dict (conv{b}_{i} / bn{b}_{i} /
+    linear1 / linear2). Inverse of :func:`load_discriminator_from_torch`,
+    including the NHWC->NCHW flatten permutation on linear1."""
+    params = variables.get("params", variables)
+    stats = variables.get("batch_stats") or {}
+    out: dict = {}
+    names = [f"{b}_{i}" for b in range(5) for i in (0, 1)]
+    for name in names:
+        conv = params[f"conv{name}"]
+        out[f"conv{name}.weight"] = _j2t_conv(conv["kernel"])
+        if "bias" in conv:
+            out[f"conv{name}.bias"] = np.asarray(conv["bias"], dtype=np.float32)
+        if f"bn{name}" in params:
+            bn = params[f"bn{name}"]
+            out[f"bn{name}.weight"] = np.asarray(bn["scale"], dtype=np.float32)
+            out[f"bn{name}.bias"] = np.asarray(bn["bias"], dtype=np.float32)
+            st = stats.get(f"bn{name}", {})
+            out[f"bn{name}.running_mean"] = np.asarray(
+                st.get("mean", np.zeros_like(bn["bias"])), dtype=np.float32
+            )
+            out[f"bn{name}.running_var"] = np.asarray(
+                st.get("var", np.ones_like(bn["bias"])), dtype=np.float32
+            )
+            out[f"bn{name}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+    # linear1: our kernel is (4*4*C H-major-flat, 100); torch flattens NCHW
+    w1 = np.asarray(params["linear1"]["kernel"], dtype=np.float32).T  # (100, HWC)
+    c_last = params["conv4_1"]["kernel"].shape[-1]
+    w1 = w1.reshape(-1, 4, 4, c_last).transpose(0, 3, 1, 2).reshape(w1.shape[0], -1)
+    out["linear1.weight"] = w1
+    out["linear1.bias"] = np.asarray(params["linear1"]["bias"], dtype=np.float32)
+    out["linear2.weight"] = np.asarray(params["linear2"]["kernel"], dtype=np.float32).T
+    out["linear2.bias"] = np.asarray(params["linear2"]["bias"], dtype=np.float32)
     return out
 
 

@@ -414,6 +414,87 @@ def test_torch_oracle_discriminator_parity():
     np.testing.assert_allclose(np.asarray(y_j), y_t, atol=3e-4)
 
 
+def _tree_allclose(a, b, atol=0.0):
+    import jax
+
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+@pytest.mark.parametrize("layout", ["scan", "unrolled"])
+def test_torch_export_roundtrip_rrdb(layout):
+    """rrdb_to_torch is the exact inverse of load_rrdb_from_torch (both param
+    layouts), and the exported key set is exactly what a torch ESRGAN
+    generator's state_dict contains — so reference tooling loads it as-is."""
+    import jax
+
+    from esr_tpu.models.networks import load_rrdb_from_torch, rrdb_to_torch
+
+    nf, gc, nb = 8, 4, 2
+    model = RRDBNet(nf=nf, nb=nb, gc=gc, scale=4, scan_blocks=layout == "scan")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    sd = rrdb_to_torch(params)
+
+    expected = set()
+    for name in ("conv_first", "trunk_conv", "upconv1", "upconv2", "HRconv", "conv_last"):
+        expected |= {f"{name}.weight", f"{name}.bias"}
+    for i in range(nb):
+        for j in (1, 2, 3):
+            for k in range(1, 6):
+                expected |= {
+                    f"RRDB_trunk.{i}.RDB{j}.conv{k}.weight",
+                    f"RRDB_trunk.{i}.RDB{j}.conv{k}.bias",
+                }
+    assert set(sd) == expected
+    assert sd["conv_first.weight"].shape == (nf, 3, 3, 3)  # OIHW
+
+    back = load_rrdb_from_torch(sd, nb=nb, scan=layout == "scan")
+    _tree_allclose(params["params"], back["params"])
+
+
+def test_torch_export_latent_proj_keys():
+    """all_layers latent projections export under the documented fork-only
+    naming (no reference counterpart)."""
+    import jax
+
+    from esr_tpu.models.networks import rrdb_to_torch
+
+    model = RRDBNet(
+        nf=8, nb=2, gc=4, scale=4, num_latent_channels=2, latent_input="all_layers"
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    sd = rrdb_to_torch(params)
+    assert {"latent_proj.0.weight", "latent_proj.1.bias"} <= set(sd)
+
+
+def test_torch_export_roundtrip_discriminator():
+    """discriminator_to_torch inverts load_discriminator_from_torch,
+    including BN running stats and the NHWC/NCHW linear1 permutation."""
+    import jax
+
+    from esr_tpu.models.networks import (
+        discriminator_to_torch,
+        load_discriminator_from_torch,
+    )
+
+    model = DiscriminatorVGG128(nf=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    )
+    # non-trivial running stats so the round-trip exercises them
+    variables = jax.tree.map(
+        lambda x: x + 0.1 * np.random.default_rng(0).random(x.shape).astype(np.float32),
+        variables,
+    )
+    sd = discriminator_to_torch(variables)
+    assert "bn0_1.running_mean" in sd and "linear1.weight" in sd
+    back = load_discriminator_from_torch(sd)
+    _tree_allclose(variables["params"], back["params"], atol=1e-6)
+    _tree_allclose(variables["batch_stats"], back["batch_stats"], atol=1e-6)
+
+
 def test_pixel_shuffle_matches_torch():
     import torch
 
