@@ -1,0 +1,189 @@
+"""Pipeline parallelism (GPipe-style) for the RRDB trunk (beyond SURVEY.md
+§2.13: the reference's only parallelism is ``nn.DataParallel`` — it has no
+pipeline story at all).
+
+The TPU-idiomatic pp axis for this architecture: the trunk is ``nb``
+*identical* residual blocks whose params the scan layout already stacks
+along a leading ``(nb, ...)`` axis (``rrdb_scan/block`` — architecture.py).
+Shard THAT axis over a ``stage`` mesh axis with ``shard_map`` — each device
+owns ``nb / n_stages`` consecutive blocks — and stream microbatches through
+the ring with ``lax.ppermute``: the standard scaling-book pipelining recipe
+(schedule: simple GPipe fill-drain, ``n_micro + n_stages - 1`` ticks).
+
+Why this shape:
+
+- **No weight movement.** Blocks stay put; only activations ride ICI
+  (one (mb, H, W, nf) tensor per tick per stage boundary). For deep trunks
+  (nb >> nf footprint) this is the memory-scaling axis DP cannot offer:
+  a 10x-deeper generator than flagship (nb=230) fits because each stage
+  holds nb/S blocks' params + one microbatch's activations.
+- **Autodiff-native.** ``ppermute`` transposes to the reverse permute, so
+  ``jax.grad`` through this wrapper IS pipelined backprop (fill-drain,
+  GPipe-exact gradients — no stale-weight schedule approximations).
+- **Composability.** Only the trunk is staged. The cheap pre/post stages
+  (conv_first, trunk_conv, upsampling, HR convs — a few % of FLOPs) run
+  replicated on every stage, which costs compute no one was using during
+  their own bubble anyway and keeps the wrapper a drop-in
+  ``apply(variables, lr, z)``.
+
+Bubble fraction is the usual (S-1)/(M+S-1); pick ``n_micro >= 4*stages``
+for >80% utilization. Exactness: the pipelined forward is the SAME math as
+the sequential scan (same blocks, same order, microbatching only splits the
+batch dim) — equivalence is pinned to near-f32-exactness in
+``tests/test_parallel.py::test_pipelined_trunk_matches_sequential``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["make_stage_mesh", "pipelined_trunk", "pipelined_rrdb_apply"]
+
+
+def make_stage_mesh(n_stages: int | None = None, devices=None) -> Mesh:
+    """A 1-axis ('stage',) mesh for pipelining."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_stages or len(devices)
+    return Mesh(np.asarray(devices[:n]), axis_names=("stage",))
+
+
+def pipelined_trunk(
+    block_apply,
+    mesh: Mesh,
+    n_micro: int,
+    axis: str = "stage",
+):
+    """Build ``fn(stacked_block_params, x) -> y`` applying ``nb`` sequential
+    blocks, param-stacked along axis 0 and sharded over ``axis``, to ``x``
+    (B, H, W, C) via GPipe microbatch pipelining.
+
+    ``block_apply(one_block_params, x) -> y`` applies ONE block (same
+    signature the nn.scan trunk body uses). B must divide by ``n_micro``;
+    nb by the stage count.
+    """
+    n_stages = mesh.shape[axis]
+
+    def stage_fn(local_blocks, x):
+        sid = jax.lax.axis_index(axis)
+        m = n_micro
+        b, h, w, c = x.shape
+        mb = x.reshape(m, b // m, h, w, c)
+        # the carry becomes stage-varying after the first tick (ppermute /
+        # per-stage writes); mark the zero init as varying up front so the
+        # scan carry types match (shard_map vma tracking)
+        state = jax.lax.pcast(jnp.zeros_like(mb[0]), (axis,), to="varying")
+        outs = jax.lax.pcast(jnp.zeros_like(mb), (axis,), to="varying")
+
+        def chunk(xin):
+            def body(carry, p):
+                return block_apply(p, carry), None
+
+            y, _ = jax.lax.scan(body, xin, local_blocks)
+            return y
+
+        def tick(carry, t):
+            state, outs = carry
+            # stage 0 ingests microbatch t (clamped during drain); others
+            # consume what the previous stage handed over last tick
+            inp = jnp.where(sid == 0, mb[jnp.clip(t, 0, m - 1)], state)
+            y = chunk(inp)
+            # the last stage emits microbatch t-(S-1) once the fill ends
+            oidx = t - (n_stages - 1)
+            valid = jnp.logical_and(sid == n_stages - 1, oidx >= 0)
+            o = jnp.clip(oidx, 0, m - 1)
+            outs = outs.at[o].set(jnp.where(valid, y, outs[o]))
+            state = jax.lax.ppermute(
+                y, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)]
+            )
+            return (state, outs), None
+
+        (state, outs), _ = jax.lax.scan(
+            tick, (state, outs), jnp.arange(m + n_stages - 1)
+        )
+        # only the last stage holds the real outputs; replicate them so the
+        # (replicated) post-trunk stages see the full result everywhere
+        outs = jax.lax.psum(
+            jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis
+        )
+        return outs.reshape(b, h, w, c)
+
+    return shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+    )
+
+
+def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
+    """Drop-in ``fn(variables, lr, z=None) -> sr`` running ``model``'s
+    (RRDBNet, scan layout) forward with the trunk pipelined over ``axis``.
+
+    Pre/post-trunk layers run replicated on every stage (a few % of the
+    FLOPs); the nb-block trunk — ~90% of the network — is staged. Math is
+    identical to ``model.apply`` (tested); restrictions: ``scan_blocks``
+    params layout, ``fold == 1``, ``latent_input != 'all_layers'`` (the Z
+    map would have to ride the rotating carry — straightforward, not yet
+    needed), ``nb %% n_stages == 0``.
+    """
+    from esr_tpu.models.architecture import _up_factors
+    from esr_tpu.models.blocks import RRDB, ConvLRelu, FusedUpsampleConvLRelu, upsample_nearest
+
+    if model.fold != 1:
+        raise ValueError("pipelined_rrdb_apply requires fold=1")
+    if model.latent_input == "all_layers" and model.num_latent_channels:
+        raise ValueError("all_layers latent not supported in the pipelined wrapper")
+    n_stages = mesh.shape[axis]
+    if model.nb % n_stages:
+        raise ValueError(f"nb={model.nb} not divisible by {n_stages} stages")
+
+    block = RRDB(model.nf, model.gc, model.dtype, model.packed, 1)
+
+    def block_apply(p, x):
+        return block.apply({"params": p}, x)
+
+    trunk_fn = pipelined_trunk(block_apply, mesh, n_micro, axis)
+
+    def sub(name, **kw):
+        return ConvLRelu(dtype=model.dtype, **kw)
+
+    def apply(variables, lr, z=None):
+        params = variables["params"] if "params" in variables else variables
+        if model.num_latent_channels:
+            if z is None:
+                z = jnp.zeros(
+                    lr.shape[:-1] + (model.num_latent_channels,), dtype=lr.dtype
+                )
+            x = jnp.concatenate([lr, z], axis=-1)
+        else:
+            x = lr
+        x = x.astype(model.dtype)
+        fea = sub("conv_first", features=model.nf, act=False).apply(
+            {"params": params["conv_first"]}, x
+        )
+        trunk = trunk_fn(params["rrdb_scan"]["block"], fea)
+        trunk = sub("trunk_conv", features=model.nf, act=False, init_scale=0.1).apply(
+            {"params": params["trunk_conv"]}, trunk
+        )
+        fea = fea + trunk
+        for i, r in enumerate(_up_factors(model.scale)):
+            p = {"params": params[f"upconv{i + 1}"]}
+            if model.fused_upsample and r == 2:
+                fea = FusedUpsampleConvLRelu(model.nf, dtype=model.dtype).apply(p, fea)
+            else:
+                fea = upsample_nearest(fea, r)
+                fea = sub("up", features=model.nf, act=True).apply(p, fea)
+        fea = sub("HRconv", features=model.nf, act=True).apply(
+            {"params": params["HRconv"]}, fea
+        )
+        out = sub("last", features=model.out_nc, act=False).apply(
+            {"params": params["conv_last"]}, fea
+        )
+        return out.astype(jnp.float32)
+
+    return apply
