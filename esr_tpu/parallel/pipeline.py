@@ -60,24 +60,30 @@ def pipelined_trunk(
 ):
     """Build ``fn(stacked_block_params, x) -> y`` applying ``nb`` sequential
     blocks, param-stacked along axis 0 and sharded over ``axis``, to ``x``
-    (B, H, W, C) via GPipe microbatch pipelining.
+    via GPipe microbatch pipelining.
 
-    ``block_apply(one_block_params, x) -> y`` applies ONE block (same
-    signature the nn.scan trunk body uses). B must divide by ``n_micro``;
-    nb by the stage count.
+    ``block_apply(one_block_params, carry) -> carry`` applies ONE block
+    (same signature the nn.scan trunk body uses). ``x`` may be a single
+    (B, ...) array or a PYTREE of them (e.g. ``(trunk, z)`` for the
+    all_layers latent, where the Z map rides the ring alongside its
+    microbatch). B must divide by ``n_micro``; nb by the stage count.
     """
     n_stages = mesh.shape[axis]
 
     def stage_fn(local_blocks, x):
         sid = jax.lax.axis_index(axis)
         m = n_micro
-        b, h, w, c = x.shape
-        mb = x.reshape(m, b // m, h, w, c)
+
+        def to_mb(a):
+            return a.reshape(m, a.shape[0] // m, *a.shape[1:])
+
+        mb = jax.tree.map(to_mb, x)
         # the carry becomes stage-varying after the first tick (ppermute /
         # per-stage writes); mark the zero init as varying up front so the
         # scan carry types match (shard_map vma tracking)
-        state = jax.lax.pcast(jnp.zeros_like(mb[0]), (axis,), to="varying")
-        outs = jax.lax.pcast(jnp.zeros_like(mb), (axis,), to="varying")
+        varying = lambda a: jax.lax.pcast(a, (axis,), to="varying")  # noqa: E731
+        state = jax.tree.map(lambda a: varying(jnp.zeros_like(a[0])), mb)
+        outs = jax.tree.map(lambda a: varying(jnp.zeros_like(a)), mb)
 
         def chunk(xin):
             def body(carry, p):
@@ -90,13 +96,18 @@ def pipelined_trunk(
             state, outs = carry
             # stage 0 ingests microbatch t (clamped during drain); others
             # consume what the previous stage handed over last tick
-            inp = jnp.where(sid == 0, mb[jnp.clip(t, 0, m - 1)], state)
+            ti = jnp.clip(t, 0, m - 1)
+            inp = jax.tree.map(
+                lambda mbl, s: jnp.where(sid == 0, mbl[ti], s), mb, state
+            )
             y = chunk(inp)
             # the last stage emits microbatch t-(S-1) once the fill ends
             oidx = t - (n_stages - 1)
             valid = jnp.logical_and(sid == n_stages - 1, oidx >= 0)
             o = jnp.clip(oidx, 0, m - 1)
-            outs = outs.at[o].set(jnp.where(valid, y, outs[o]))
+            outs = jax.tree.map(
+                lambda os, yl: os.at[o].set(jnp.where(valid, yl, os[o])), outs, y
+            )
             state = jax.lax.ppermute(
                 y, axis, [(i, (i + 1) % n_stages) for i in range(n_stages)]
             )
@@ -107,10 +118,13 @@ def pipelined_trunk(
         )
         # only the last stage holds the real outputs; replicate them so the
         # (replicated) post-trunk stages see the full result everywhere
-        outs = jax.lax.psum(
-            jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis
+        outs = jax.tree.map(
+            lambda os: jax.lax.psum(
+                jnp.where(sid == n_stages - 1, os, jnp.zeros_like(os)), axis
+            ),
+            outs,
         )
-        return outs.reshape(b, h, w, c)
+        return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), outs)
 
     return shard_map(
         stage_fn,
@@ -127,29 +141,39 @@ def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
     Pre/post-trunk layers run replicated on every stage (a few % of the
     FLOPs); the nb-block trunk — ~90% of the network — is staged. Math is
     identical to ``model.apply`` (tested); restrictions: ``scan_blocks``
-    params layout, ``fold == 1``, ``latent_input != 'all_layers'`` (the Z
-    map would have to ride the rotating carry — straightforward, not yet
-    needed), ``nb %% n_stages == 0``.
+    params layout, ``fold == 1``, ``nb %% n_stages == 0``. With
+    ``latent_input='all_layers'`` the Z map rides the ring alongside its
+    microbatch (carry = (trunk, z), exactly like the sequential scan body).
     """
     from esr_tpu.models.architecture import _up_factors
     from esr_tpu.models.blocks import RRDB, ConvLRelu, FusedUpsampleConvLRelu, upsample_nearest
 
     if model.fold != 1:
         raise ValueError("pipelined_rrdb_apply requires fold=1")
-    if model.latent_input == "all_layers" and model.num_latent_channels:
-        raise ValueError("all_layers latent not supported in the pipelined wrapper")
     n_stages = mesh.shape[axis]
     if model.nb % n_stages:
         raise ValueError(f"nb={model.nb} not divisible by {n_stages} stages")
 
+    all_layers = model.latent_input == "all_layers" and model.num_latent_channels
     block = RRDB(model.nf, model.gc, model.dtype, model.packed, 1)
+    proj = ConvLRelu(model.nf, kernel=1, act=False, dtype=model.dtype)
 
-    def block_apply(p, x):
-        return block.apply({"params": p}, x)
+    if all_layers:
+
+        def block_apply(p, carry):
+            trunk, z = carry
+            t = jnp.concatenate([trunk, z], axis=-1)
+            t = proj.apply({"params": p["latent_proj"]}, t)
+            return block.apply({"params": p["block"]}, t), z
+
+    else:
+
+        def block_apply(p, x):
+            return block.apply({"params": p["block"]}, x)
 
     trunk_fn = pipelined_trunk(block_apply, mesh, n_micro, axis)
 
-    def sub(name, **kw):
+    def sub(**kw):
         return ConvLRelu(dtype=model.dtype, **kw)
 
     def apply(variables, lr, z=None):
@@ -163,11 +187,14 @@ def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
         else:
             x = lr
         x = x.astype(model.dtype)
-        fea = sub("conv_first", features=model.nf, act=False).apply(
+        fea = sub(features=model.nf, act=False).apply(
             {"params": params["conv_first"]}, x
         )
-        trunk = trunk_fn(params["rrdb_scan"]["block"], fea)
-        trunk = sub("trunk_conv", features=model.nf, act=False, init_scale=0.1).apply(
+        if all_layers:
+            trunk, _ = trunk_fn(params["rrdb_scan"], (fea, z.astype(model.dtype)))
+        else:
+            trunk = trunk_fn(params["rrdb_scan"], fea)
+        trunk = sub(features=model.nf, act=False, init_scale=0.1).apply(
             {"params": params["trunk_conv"]}, trunk
         )
         fea = fea + trunk
@@ -177,11 +204,11 @@ def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
                 fea = FusedUpsampleConvLRelu(model.nf, dtype=model.dtype).apply(p, fea)
             else:
                 fea = upsample_nearest(fea, r)
-                fea = sub("up", features=model.nf, act=True).apply(p, fea)
-        fea = sub("HRconv", features=model.nf, act=True).apply(
+                fea = sub(features=model.nf, act=True).apply(p, fea)
+        fea = sub(features=model.nf, act=True).apply(
             {"params": params["HRconv"]}, fea
         )
-        out = sub("last", features=model.out_nc, act=False).apply(
+        out = sub(features=model.out_nc, act=False).apply(
             {"params": params["conv_last"]}, fea
         )
         return out.astype(jnp.float32)

@@ -384,3 +384,22 @@ def test_pipelined_trunk_validation():
         pipelined_rrdb_apply(RRDBNet(nf=8, nb=6, gc=4), mesh, n_micro=2)
     with pytest.raises(ValueError, match="fold=1"):
         pipelined_rrdb_apply(RRDBNet(nf=8, nb=8, gc=4, fold=2), mesh, n_micro=2)
+
+
+def test_pipelined_trunk_all_layers():
+    """With latent_input='all_layers' the Z map rides the pipeline ring
+    alongside its microbatch; output still equals the sequential scan."""
+    from esr_tpu.parallel import make_stage_mesh, pipelined_rrdb_apply
+
+    model = RRDBNet(
+        nf=8, nb=8, gc=4, scale=4, num_latent_channels=2, latent_input="all_layers"
+    )
+    rng = np.random.default_rng(1)
+    lr = jnp.asarray(rng.random((8, 8, 8, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (8, 8, 8, 2)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), lr, z)
+
+    pp_apply = pipelined_rrdb_apply(model, make_stage_mesh(4), n_micro=4)
+    want = model.apply(variables, lr, z)
+    got = jax.jit(pp_apply)(variables, lr, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
