@@ -43,3 +43,17 @@ def test_assert_pure():
 
     with pytest.raises(AssertionError):
         assert_pure(bad, jnp.arange(4.0))
+
+
+def test_precision_ladder_tools():
+    """one_over_f_image is deterministic in [0,1]; metrics psnr is sane."""
+    import numpy as np
+
+    from esr_tpu.scripts.precision_ladder import metrics, one_over_f_image
+
+    a = one_over_f_image(16, 24, seed=3)
+    b = one_over_f_image(16, 24, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (16, 24, 3) and a.min() >= 0.0 and a.max() <= 1.0
+    m = metrics(a, a + 0.01)
+    assert abs(m["rms"] - 0.01) < 1e-6 and abs(m["max"] - 0.01) < 1e-6
