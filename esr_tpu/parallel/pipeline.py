@@ -49,6 +49,8 @@ def make_stage_mesh(n_stages: int | None = None, devices=None) -> Mesh:
 
     devices = list(devices if devices is not None else jax.devices())
     n = n_stages or len(devices)
+    if n > len(devices):
+        raise ValueError(f"asked for {n} stages but only {len(devices)} devices")
     return Mesh(np.asarray(devices[:n]), axis_names=("stage",))
 
 
@@ -150,6 +152,11 @@ def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
 
     if model.fold != 1:
         raise ValueError("pipelined_rrdb_apply requires fold=1")
+    if not model.scan_blocks:
+        raise ValueError(
+            "pipelined_rrdb_apply requires the scan_blocks param layout "
+            "(stacked rrdb_scan/block)"
+        )
     n_stages = mesh.shape[axis]
     if model.nb % n_stages:
         raise ValueError(f"nb={model.nb} not divisible by {n_stages} stages")

@@ -41,34 +41,36 @@ def one_over_f_image(h: int, w: int, seed: int = 0) -> np.ndarray:
     return np.stack(chans, axis=-1).astype(np.float32)
 
 
-def _forward(ckpt: str, nf: int, nb: int, gc: int, nz: int, size, variant: str):
+VARIANTS = ("bf16_unfolded", "bf16_folded", "f32", "f32_highest")
+
+
+def _forward(params, nf: int, nb: int, gc: int, nz: int, size, variant: str):
     import jax
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
     from esr_tpu.models.architecture import RRDBNet
 
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; choose from {VARIANTS}")
     h, w = size
     lr = jnp.asarray(one_over_f_image(h, w)[None])
     z = jnp.zeros((1, h, w, nz), jnp.float32) if nz else None
 
     dtype = jnp.bfloat16 if variant.startswith("bf16") else jnp.float32
-    fold = 2 if variant.endswith("folded") else 1
+    fold = 2 if variant == "bf16_folded" else 1
     batch = jnp.concatenate([lr, lr], 0) if fold == 2 else lr
     zb = (jnp.concatenate([z, z], 0) if fold == 2 else z) if nz else None
 
     model = RRDBNet(
         nf=nf, nb=nb, gc=gc, scale=4, num_latent_channels=nz, fold=fold, dtype=dtype
     )
-    import os
 
-    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
-    params = restored["params"] if "params" in restored else restored
+    from contextlib import nullcontext
 
     ctx = (
         jax.default_matmul_precision("highest")
         if variant == "f32_highest"
-        else _nullcontext()
+        else nullcontext()
     )
     with ctx:
         out = jax.jit(lambda p, x, zz: model.apply({"params": p}, x, zz))(
@@ -77,12 +79,13 @@ def _forward(ckpt: str, nf: int, nb: int, gc: int, nz: int, size, variant: str):
     return np.asarray(out[0], np.float32)
 
 
-class _nullcontext:
-    def __enter__(self):
-        return self
+def load_params(ckpt: str):
+    import os
 
-    def __exit__(self, *a):
-        return False
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+    return restored["params"] if "params" in restored else restored
 
 
 def metrics(a: np.ndarray, b: np.ndarray) -> dict:
@@ -115,9 +118,10 @@ def main(argv=None) -> None:
 
     if args.cmd == "run":
         h, w = (int(x) for x in args.size.split("x"))
+        params = load_params(args.ckpt)
         out = {}
         for v in args.variants.split(","):
-            out[v] = _forward(args.ckpt, args.nf, args.nb, args.gc, args.nz, (h, w), v)
+            out[v] = _forward(params, args.nf, args.nb, args.gc, args.nz, (h, w), v)
             print(f"ran {v}: output range [{out[v].min():.3f}, {out[v].max():.3f}]")
         np.savez(args.out, **out)
         print(f"saved {list(out)} -> {args.out}")
