@@ -40,7 +40,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["KernelGANConf", "LinearKernelG", "PatchD", "effective_kernel", "estimate_kernel"]
+__all__ = [
+    "KernelGANConf",
+    "LinearKernelG",
+    "PatchD",
+    "conf_for_image",
+    "effective_kernel",
+    "estimate_kernel",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,6 +213,25 @@ def make_kernelgan_step(g_module, d_module, conf: KernelGANConf):
         return g_state, d_state, {"l_g": l_g, "l_d": l_d, "adv": adv, "reg": reg}
 
     return step
+
+
+def conf_for_image(
+    shape, scale: int = 4, iters: int = 2000, seed: int = 0
+) -> KernelGANConf:
+    """A KernelGANConf sized to the image: g_input 64 when it fits, else a
+    compact crop (48 at the default architecture) whose VALID-conv fakes
+    still cover D's receptive field. Raises for images below that."""
+    m = min(int(shape[0]), int(shape[1]))
+    base = KernelGANConf(scale=scale, iters=iters, seed=seed)
+    need = _support(base) - 1 + scale * _d_receptive(base)  # = 48 at defaults
+    if m >= base.g_input:
+        return base
+    if m >= need:
+        return dataclasses.replace(base, g_input=need)
+    raise ValueError(
+        f"image {tuple(shape[:2])} too small for kernel estimation "
+        f"(needs >= {need}px on the short side at the default architecture)"
+    )
 
 
 def estimate_kernel(

@@ -4,7 +4,9 @@ session API and needs PyQt).
 
 Usage::
 
-    python -m esr_tpu.explore.cli -opt OPTIONS.json --lr image.png
+    python -m esr_tpu.explore.cli -opt OPTIONS.json --lr image.png \
+        [--estimate_kernel [ITERS]]   # blind SR: KernelGAN-estimate the
+                                      # kernel from image.png, CEM under it
 
 Commands (one per line)::
 
@@ -39,7 +41,7 @@ import sys
 import numpy as np
 
 
-def build_session_from_opt(opt_path: str, lr_path: str):
+def build_session_from_opt(opt_path: str, lr_path: str, estimate_kernel_iters=None):
     import jax.numpy as jnp
 
     from esr_tpu import options as options_mod
@@ -47,8 +49,30 @@ def build_session_from_opt(opt_path: str, lr_path: str):
     from esr_tpu.models import create_model
 
     opt = options_mod.parse(opt_path, is_train=False)
+    lr_host = read_img(lr_path)
+    if estimate_kernel_iters:
+        # blind SR in one flag: estimate the downsampling kernel from the LR
+        # image itself (KernelGAN-style, cem/kernelgan.py) and drive CEM +
+        # exploration under it instead of the bicubic assumption
+        from esr_tpu.cem.kernelgan import conf_for_image, estimate_kernel
+
+        conf = conf_for_image(
+            lr_host.shape, int(opt.get("scale") or 4), int(estimate_kernel_iters)
+        )
+        print(
+            f"estimating kernel from {lr_path} ({conf.iters} iters, "
+            f"g_input {conf.g_input})...",
+            flush=True,
+        )
+        opt["kernel"], _ = estimate_kernel(lr_host, conf)
+        if not opt.get("use_cem"):
+            print(
+                "note: use_cem is false — the estimated kernel affects nothing; "
+                "set use_cem: true for consistency under it",
+                flush=True,
+            )
     model = create_model(opt)
-    lr_img = read_img(lr_path)[None]
+    lr_img = lr_host[None]
 
     def forward(params, lr, z):
         raw = model.g_module.apply({"params": params}, lr, z)
@@ -204,8 +228,18 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", required=True)
     parser.add_argument("--lr", required=True, help="LR input image path")
+    parser.add_argument(
+        "--estimate_kernel",
+        nargs="?",
+        const=2000,
+        type=int,
+        default=None,
+        help="blind SR: estimate the downsampling kernel from the LR image "
+        "(KernelGAN-style) and run CEM/exploration under it; optional value "
+        "sets the iteration count (default 2000)",
+    )
     args = parser.parse_args(argv)
-    sess = build_session_from_opt(args.opt, args.lr)
+    sess = build_session_from_opt(args.opt, args.lr, args.estimate_kernel)
     print("explorable-SR editor; 'quit' to exit", flush=True)
     for line in sys.stdin:
         msg = run_command(sess, line)

@@ -193,3 +193,13 @@ def test_cli(tmp_path):
     main(["--lr", p, "--scale", "4", "--iters", "20", "--g_input", "48", "--out", out])
     k = np.load(out)
     assert k.ndim == 2 and abs(k.sum() - 1.0) < 1e-6
+
+
+def test_conf_for_image_sizing():
+    from esr_tpu.cem.kernelgan import conf_for_image
+
+    assert conf_for_image((100, 100), 4).g_input == 64
+    c = conf_for_image((50, 60), 4)
+    assert c.g_input == 48  # support-1 + scale*d_receptive at defaults
+    with pytest.raises(ValueError, match="too small"):
+        conf_for_image((40, 40), 4)
