@@ -89,10 +89,12 @@ def load_params(ckpt: str):
 
 
 def metrics(a: np.ndarray, b: np.ndarray) -> dict:
+    """rms/max plus PSNR over the nominal [0,1] image span (fixed span keeps
+    the convergence-curve rows comparable across checkpoints whose raw
+    output ranges differ — PERFORMANCE.md precision-ladder rows)."""
     d = a.astype(np.float64) - b.astype(np.float64)
     rms = float(np.sqrt(np.mean(d**2)))
-    span = float(max(a.max() - a.min(), 1e-12))
-    psnr = float(20 * np.log10(span / max(rms, 1e-12)))
+    psnr = float(20 * np.log10(1.0 / max(rms, 1e-12)))
     return {"rms": rms, "max": float(np.abs(d).max()), "psnr_db": psnr}
 
 
