@@ -147,16 +147,10 @@ def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
     ``latent_input='all_layers'`` the Z map rides the ring alongside its
     microbatch (carry = (trunk, z), exactly like the sequential scan body).
     """
-    from esr_tpu.models.architecture import _up_factors
-    from esr_tpu.models.blocks import RRDB, ConvLRelu, FusedUpsampleConvLRelu, upsample_nearest
+    from esr_tpu.models.blocks import RRDB, ConvLRelu
+    from esr_tpu.parallel.common import check_trunk_parallel_model, make_outer_apply
 
-    if model.fold != 1:
-        raise ValueError("pipelined_rrdb_apply requires fold=1")
-    if not model.scan_blocks:
-        raise ValueError(
-            "pipelined_rrdb_apply requires the scan_blocks param layout "
-            "(stacked rrdb_scan/block)"
-        )
+    check_trunk_parallel_model(model, "pipelined_rrdb_apply")
     n_stages = mesh.shape[axis]
     if model.nb % n_stages:
         raise ValueError(f"nb={model.nb} not divisible by {n_stages} stages")
@@ -178,46 +172,4 @@ def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):
         def block_apply(p, x):
             return block.apply({"params": p["block"]}, x)
 
-    trunk_fn = pipelined_trunk(block_apply, mesh, n_micro, axis)
-
-    def sub(**kw):
-        return ConvLRelu(dtype=model.dtype, **kw)
-
-    def apply(variables, lr, z=None):
-        params = variables["params"] if "params" in variables else variables
-        if model.num_latent_channels:
-            if z is None:
-                z = jnp.zeros(
-                    lr.shape[:-1] + (model.num_latent_channels,), dtype=lr.dtype
-                )
-            x = jnp.concatenate([lr, z], axis=-1)
-        else:
-            x = lr
-        x = x.astype(model.dtype)
-        fea = sub(features=model.nf, act=False).apply(
-            {"params": params["conv_first"]}, x
-        )
-        if all_layers:
-            trunk, _ = trunk_fn(params["rrdb_scan"], (fea, z.astype(model.dtype)))
-        else:
-            trunk = trunk_fn(params["rrdb_scan"], fea)
-        trunk = sub(features=model.nf, act=False, init_scale=0.1).apply(
-            {"params": params["trunk_conv"]}, trunk
-        )
-        fea = fea + trunk
-        for i, r in enumerate(_up_factors(model.scale)):
-            p = {"params": params[f"upconv{i + 1}"]}
-            if model.fused_upsample and r == 2:
-                fea = FusedUpsampleConvLRelu(model.nf, dtype=model.dtype).apply(p, fea)
-            else:
-                fea = upsample_nearest(fea, r)
-                fea = sub(features=model.nf, act=True).apply(p, fea)
-        fea = sub(features=model.nf, act=True).apply(
-            {"params": params["HRconv"]}, fea
-        )
-        out = sub(features=model.out_nc, act=False).apply(
-            {"params": params["conv_last"]}, fea
-        )
-        return out.astype(jnp.float32)
-
-    return apply
+    return make_outer_apply(model, pipelined_trunk(block_apply, mesh, n_micro, axis))

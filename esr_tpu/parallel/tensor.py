@@ -1,0 +1,169 @@
+"""Tensor parallelism (channel sharding) for the RRDB trunk.
+
+Beyond SURVEY.md §2.13: the reference's only parallelism is
+``nn.DataParallel`` — it has no tensor-parallel story. For a fully
+convolutional SR net the *natural* "tensor" axes are spatial
+(``parallel/spatial.py`` — the conv analogue of sequence parallelism) and
+batch (DP); channel TP is the third, Megatron-style axis, useful when a
+single image is too small to shard spatially any further but per-step
+latency still matters, and as the memory-scaling axis for hypothetical
+very-wide generators (params and per-conv compute scale 1/T per device).
+
+Design (the scaling-book row-parallel recipe, adapted to dense blocks):
+
+- Every RDB conv is **row-parallel**: its kernel is sharded over the
+  *input*-channel dim (``shard_map`` in_spec ``P(None,None,None,'model')``
+  on the stacked ``(nb,3,3,cin,cout)`` leaves), each device convolves its
+  contiguous Cin slice of the (replicated) input, and a ``psum`` over the
+  ``model`` axis completes the channel reduction. Bias + LeakyReLU are
+  applied once, after the psum.
+- Row-parallel (not column-parallel + all_gather) because the RDB's dense
+  connectivity means every conv consumes the *concat of all previous
+  features*: with row sharding the concat stays a free, local slice of
+  replicated activations — there is no per-feature re-gather step, and the
+  only collectives are the 5 psums per RDB (one per conv), each the size of
+  that conv's output.
+- Per device the convs run the plain concat formulation at width cin/T —
+  the per-source "packed" rewrite (blocks.py) is a single-device MXU-lane
+  trick and is deliberately not used here; the param tree is identical
+  either way, so checkpoints are interchangeable.
+- The 1x1 ``latent_proj`` of ``latent_input='all_layers'`` stays replicated
+  (its Cin = nf + num_latent_channels is not generally divisible by T and
+  it is ~0.1% of the FLOPs).
+- Pre/post-trunk layers run replicated (``parallel/common.py``), so the
+  wrapper is a drop-in ``apply(variables, lr, z=None)``.
+
+Exactness: same math as ``model.apply`` up to float reduction order (the
+psum splits each conv's Cin reduction across devices) — pinned in
+``tests/test_parallel.py::test_tp_trunk_matches_sequential`` for forward
+AND parameter gradients. ``psum`` transposes to itself under autodiff, so
+``jax.grad`` through this wrapper is valid tensor-parallel backprop.
+
+Composability: the ``model`` axis is orthogonal to ``data`` (DP),
+``spatial`` (halo sharding) and ``stage`` (pipeline); ``dryrun_multichip``
+exercises it alongside the other three.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from esr_tpu.parallel.common import check_trunk_parallel_model, make_outer_apply
+
+__all__ = ["make_tp_mesh", "tp_trunk", "tp_rrdb_apply"]
+
+
+def make_tp_mesh(n_shards: int | None = None, devices=None) -> Mesh:
+    """A 1-axis ('model',) mesh for channel tensor parallelism."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_shards or len(devices)
+    if n > len(devices):
+        raise ValueError(f"asked for {n} model shards but only {len(devices)} devices")
+    return Mesh(np.asarray(devices[:n]), axis_names=("model",))
+
+
+def _rdb_forward_rowparallel(p_rdb, x, dtype, axis):
+    """One ResidualDenseBlock5C with Cin-sharded conv kernels.
+
+    ``p_rdb[f'conv{j}']['Conv_0']['kernel']`` arrives as the LOCAL shard
+    (3,3,cin_j/T,cout_j); the matching input slice is taken from the
+    replicated concat features by this device's axis index."""
+    tid = jax.lax.axis_index(axis)
+    feats = x
+    outs = []
+    for j in range(1, 6):
+        k = p_rdb[f"conv{j}"]["Conv_0"]["kernel"]
+        b = p_rdb[f"conv{j}"]["Conv_0"]["bias"]
+        c_local = k.shape[2]
+        xin = jax.lax.dynamic_slice_in_dim(feats, tid * c_local, c_local, axis=3)
+        part = jax.lax.conv_general_dilated(
+            xin,
+            k.astype(xin.dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = jax.lax.psum(part, axis) + b.astype(dtype)
+        if j < 5:
+            xj = jax.nn.leaky_relu(y, negative_slope=0.2)
+            feats = jnp.concatenate([feats, xj], axis=-1)
+        else:
+            outs = y
+    return x + 0.2 * outs
+
+
+def tp_trunk(model, mesh: Mesh, axis: str = "model"):
+    """Build ``fn(rrdb_scan_params, carry) -> carry`` running the nb-block
+    trunk with row-parallel channel sharding over ``axis``.
+
+    Requires ``model.nf % T == 0`` and ``model.gc % T == 0`` so every conv's
+    Cin (= nf + k*gc) splits evenly across the T shards.
+    """
+    tp = mesh.shape[axis]
+    if model.nf % tp or model.gc % tp:
+        raise ValueError(
+            f"channel TP over {tp} devices requires nf ({model.nf}) and gc "
+            f"({model.gc}) divisible by {tp}"
+        )
+    all_layers = model.latent_input == "all_layers" and model.num_latent_channels
+    dtype = model.dtype
+
+    def one_block(p, trunk):
+        out = trunk
+        for i in range(1, 4):
+            out = _rdb_forward_rowparallel(p["block"][f"rdb{i}"], out, dtype, axis)
+        return trunk + 0.2 * out
+
+    if all_layers:
+
+        def block_apply(p, carry):
+            trunk, z = carry
+            t = jnp.concatenate([trunk, z], axis=-1)
+            kp = p["latent_proj"]["Conv_0"]
+            t = jax.lax.conv_general_dilated(
+                t,
+                kp["kernel"].astype(t.dtype),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + kp["bias"].astype(dtype)
+            return one_block(p, t), z
+
+    else:
+        block_apply = one_block
+
+    def spec_for(path, leaf):
+        # stacked RDB conv kernels (nb,3,3,cin,cout): shard Cin (axis 3);
+        # everything else (biases, the replicated latent_proj) stays full
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if "block" in names and names[-1] == "kernel" and leaf.ndim == 5:
+            return P(None, None, None, axis, None)
+        return P()
+
+    def stage_fn(blocks, carry):
+        def body(c, p):
+            return block_apply(p, c), None
+
+        y, _ = jax.lax.scan(body, carry, blocks)
+        return y
+
+    def trunk_fn(blocks, carry):
+        specs = jax.tree_util.tree_map_with_path(spec_for, blocks)
+        fn = shard_map(
+            stage_fn, mesh=mesh, in_specs=(specs, P()), out_specs=P()
+        )
+        return fn(blocks, carry)
+
+    return trunk_fn
+
+
+def tp_rrdb_apply(model, mesh: Mesh, axis: str = "model"):
+    """Drop-in ``fn(variables, lr, z=None) -> sr`` running ``model``'s
+    (RRDBNet, scan layout) forward with the trunk channel-sharded over
+    ``axis`` (see module docstring). Pre/post-trunk layers run replicated."""
+    check_trunk_parallel_model(model, "tp_rrdb_apply")
+    return make_outer_apply(model, tp_trunk(model, mesh, axis))
