@@ -174,13 +174,42 @@ class BaseModel:
         recovering fold's throughput win (+29% at DIV2K scale, measured;
         numerically free — see that function's docstring). Opt out with
         ``eval_spatial_fold: false``; halo via ``eval_spatial_fold_halo``.
+
+        Multi-chip sharded eval forwards (require >1 device, fold=1, an
+        RRDB generator with the scan layout; correctness tested on the
+        virtual CPU mesh — real-pod throughput is hardware-blocked here):
+        ``eval_tp: T`` channel-shards the trunk over a T-device 'model'
+        mesh (parallel/tensor.py); ``eval_pp: S`` pipelines it over S
+        stages (parallel/pipeline.py; microbatches via ``eval_pp_micro``,
+        default 1 — the eval loop is image-at-a-time, raise it together
+        with ``eval_batch``). Mutually exclusive.
         """
         fold = int(getattr(self.g_module, "fold", 1) or 1)
         sf = self.opt.get("eval_spatial_fold")
         use_sf = (fold > 1) if sf is None else bool(sf)
 
-        def apply_raw(p, lr, z):
-            return self.g_module.apply({"params": p}, lr, z)
+        tp = int(self.opt.get("eval_tp") or 0)
+        pp = int(self.opt.get("eval_pp") or 0)
+        if tp > 1 and pp > 1:
+            raise ValueError("eval_tp and eval_pp are mutually exclusive")
+        if tp > 1:
+            from esr_tpu.parallel import make_tp_mesh, tp_rrdb_apply
+
+            apply_raw = tp_rrdb_apply(self.g_module, make_tp_mesh(tp))
+            use_sf = False
+        elif pp > 1:
+            from esr_tpu.parallel import make_stage_mesh, pipelined_rrdb_apply
+
+            apply_raw = pipelined_rrdb_apply(
+                self.g_module,
+                make_stage_mesh(pp),
+                n_micro=int(self.opt.get("eval_pp_micro") or 1),
+            )
+            use_sf = False
+        else:
+
+            def apply_raw(p, lr, z):
+                return self.g_module.apply({"params": p}, lr, z)
 
         if use_sf and fold > 1:
             from esr_tpu.parallel.spatial import spatial_fold_apply

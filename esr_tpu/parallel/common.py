@@ -21,11 +21,12 @@ def check_trunk_parallel_model(model, what: str) -> None:
     layout (stacked ``rrdb_scan/block``) and ``fold == 1`` (the batch->channel
     MXU folding is a single-device lane trick; it composes with DP, not with
     a sharded trunk)."""
-    if model.fold != 1:
+    if getattr(model, "fold", 1) != 1:
         raise ValueError(f"{what} requires fold=1")
-    if not model.scan_blocks:
+    if not getattr(model, "scan_blocks", False):
         raise ValueError(
-            f"{what} requires the scan_blocks param layout (stacked rrdb_scan/block)"
+            f"{what} requires an RRDB generator with the scan_blocks param "
+            "layout (stacked rrdb_scan/block)"
         )
 
 

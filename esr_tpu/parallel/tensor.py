@@ -57,12 +57,24 @@ from esr_tpu.parallel.common import check_trunk_parallel_model, make_outer_apply
 __all__ = ["make_tp_mesh", "tp_trunk", "tp_rrdb_apply"]
 
 
-def make_tp_mesh(n_shards: int | None = None, devices=None) -> Mesh:
-    """A 1-axis ('model',) mesh for channel tensor parallelism."""
+def make_tp_mesh(
+    n_shards: int | None = None, devices=None, data: int = 1
+) -> Mesh:
+    """A ('model',) mesh for channel tensor parallelism — or, with
+    ``data > 1``, a 2-axis ('data', 'model') mesh for composed DP x TP
+    (batch sharded over 'data', channels over 'model')."""
     devices = list(devices if devices is not None else jax.devices())
-    n = n_shards or len(devices)
-    if n > len(devices):
-        raise ValueError(f"asked for {n} model shards but only {len(devices)} devices")
+    n = n_shards or len(devices) // data
+    if n * data > len(devices):
+        raise ValueError(
+            f"asked for {data}x{n} (data x model) shards but only "
+            f"{len(devices)} devices"
+        )
+    if data > 1:
+        return Mesh(
+            np.asarray(devices[: n * data]).reshape(data, n),
+            axis_names=("data", "model"),
+        )
     return Mesh(np.asarray(devices[:n]), axis_names=("model",))
 
 
@@ -96,12 +108,18 @@ def _rdb_forward_rowparallel(p_rdb, x, dtype, axis):
     return x + 0.2 * outs
 
 
-def tp_trunk(model, mesh: Mesh, axis: str = "model"):
+def tp_trunk(model, mesh: Mesh, axis: str = "model", data_axis: str | None = None):
     """Build ``fn(rrdb_scan_params, carry) -> carry`` running the nb-block
     trunk with row-parallel channel sharding over ``axis``.
 
     Requires ``model.nf % T == 0`` and ``model.gc % T == 0`` so every conv's
     Cin (= nf + k*gc) splits evenly across the T shards.
+
+    With ``data_axis`` set (2-axis DP x TP mesh from ``make_tp_mesh(data=)``)
+    the activations additionally shard their batch dim over ``data_axis``;
+    the per-conv psums stay model-axis-only, so the two axes compose without
+    extra collectives (params replicated over 'data', batch replicated over
+    'model' — the standard 2D layout).
     """
     tp = mesh.shape[axis]
     if model.nf % tp or model.gc % tp:
@@ -151,10 +169,13 @@ def tp_trunk(model, mesh: Mesh, axis: str = "model"):
         y, _ = jax.lax.scan(body, carry, blocks)
         return y
 
+    act_spec = P(data_axis) if data_axis else P()
+
     def trunk_fn(blocks, carry):
         specs = jax.tree_util.tree_map_with_path(spec_for, blocks)
+        act_specs = jax.tree.map(lambda _: act_spec, carry)
         fn = shard_map(
-            stage_fn, mesh=mesh, in_specs=(specs, P()), out_specs=P()
+            stage_fn, mesh=mesh, in_specs=(specs, act_specs), out_specs=act_specs
         )
         return fn(blocks, carry)
 
@@ -164,6 +185,10 @@ def tp_trunk(model, mesh: Mesh, axis: str = "model"):
 def tp_rrdb_apply(model, mesh: Mesh, axis: str = "model"):
     """Drop-in ``fn(variables, lr, z=None) -> sr`` running ``model``'s
     (RRDBNet, scan layout) forward with the trunk channel-sharded over
-    ``axis`` (see module docstring). Pre/post-trunk layers run replicated."""
+    ``axis`` (see module docstring). Pre/post-trunk layers run replicated.
+
+    If ``mesh`` also carries a 'data' axis (``make_tp_mesh(data=)``), the
+    trunk composes DP x TP: batch over 'data', channels over 'model'."""
     check_trunk_parallel_model(model, "tp_rrdb_apply")
-    return make_outer_apply(model, tp_trunk(model, mesh, axis))
+    data_axis = "data" if "data" in mesh.axis_names else None
+    return make_outer_apply(model, tp_trunk(model, mesh, axis, data_axis))

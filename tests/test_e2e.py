@@ -729,3 +729,58 @@ def test_preempted_chunked_run_replays_exactly(tmp_path, image_dir, monkeypatch)
     # batch or rng fold slipped in
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+
+
+def test_eval_tp_pp_match_serial(tmp_path, image_dir):
+    """User-reachable sharded eval forwards: `eval_tp: 4` (channel-TP trunk)
+    and `eval_pp: 2` (pipelined trunk) produce the same eval metrics as the
+    plain forward (fold=1; differences are float reduction order only)."""
+    from esr_tpu.models import create_model
+    from esr_tpu.options import parse
+    from esr_tpu.test import evaluate_dataset
+    from esr_tpu import data as data_mod
+
+    base = {
+        "name": "e2e_eval_tp_pp",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "use_cem": True,
+        "datasets": {
+            "test_1": {"name": "folder", "mode": "LRHR", "dataroot_HR": image_dir}
+        },
+        "path": {"root": str(tmp_path)},
+        "network_G": {
+            "which_model_G": "RRDB_net",
+            "nf": 8,
+            "nb": 2,
+            "gc": 4,
+            "num_latent_channels": 1,
+        },
+    }
+
+    import jax
+
+    opt = parse(base, is_train=False)
+    model = create_model(opt)  # ONE model: params shared across variants
+    ds_opt = opt["datasets"]["test_1"]
+
+    def run(extra):
+        for k in ("eval_tp", "eval_pp"):
+            model.opt[k] = extra.get(k)
+        model._forward = jax.jit(model._make_forward())
+        loader = data_mod.create_dataloader(data_mod.create_dataset(ds_opt), ds_opt)
+        return evaluate_dataset(model, loader, opt)
+
+    plain = run({})
+    for extra in ({"eval_tp": 4}, {"eval_pp": 2}):
+        got = run(extra)
+        for k in plain:
+            assert np.isclose(got[k], plain[k], rtol=0, atol=1e-3), (
+                extra, k, plain[k], got[k],
+            )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run({"eval_tp": 4, "eval_pp": 2})

@@ -477,3 +477,23 @@ def test_tp_trunk_validation():
         tp_rrdb_apply(RRDBNet(nf=8, nb=4, gc=4), mesh)  # gc=4 vs T=8
     with pytest.raises(ValueError, match="fold=1"):
         tp_rrdb_apply(RRDBNet(nf=8, nb=4, gc=4, fold=2), make_tp_mesh(4))
+
+
+def test_tp_dp_composed_mesh():
+    """DP x TP on a 2-axis ('data','model') 2x4 mesh: batch shards over
+    'data', conv channels over 'model'; psums stay model-axis-only. Output
+    equals the sequential forward."""
+    from esr_tpu.parallel import make_tp_mesh, tp_rrdb_apply
+
+    model = RRDBNet(nf=8, nb=2, gc=4, scale=4, num_latent_channels=1)
+    rng = np.random.default_rng(2)
+    lr = jnp.asarray(rng.random((4, 8, 8, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (4, 8, 8, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), lr, z)
+
+    mesh = make_tp_mesh(4, data=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+    got = jax.jit(tp_rrdb_apply(model, mesh))(variables, lr, z)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(model.apply(variables, lr, z)), atol=2e-6
+    )
