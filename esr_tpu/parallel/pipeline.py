@@ -40,7 +40,57 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["make_stage_mesh", "pipelined_trunk", "pipelined_rrdb_apply"]
+__all__ = [
+    "make_stage_mesh",
+    "pipelined_trunk",
+    "pipelined_rrdb_apply",
+    "derive_n_micro",
+]
+
+_micro_warned: set = set()
+
+
+def derive_n_micro(batch_size: int, n_stages: int, requested=None) -> int:
+    """Pick the GPipe microbatch count for a (trace-time static) batch size.
+
+    ``requested`` (the user's ``eval_pp_micro``/``train_pp_micro``) is
+    honored when it divides the batch; otherwise the largest divisor of the
+    batch <= requested is used (logged). Unset -> auto: the smallest divisor
+    of the batch >= ``4 * n_stages`` (the >80%-utilization guideline in this
+    module's docstring), or the whole batch when it is smaller than that —
+    maximal microbatching is the best available bubble fraction. Warns
+    loudly (once per shape) when forced to 1 with multiple stages: that is
+    a (S-1)/S-idle pipeline; raise the batch (``eval_batch``) to fix it.
+    """
+    b = int(batch_size)
+    s = max(1, int(n_stages))
+    if requested:
+        m = min(int(requested), b)
+        while b % m:
+            m -= 1
+        if m != int(requested) and ("req", b, int(requested)) not in _micro_warned:
+            _micro_warned.add(("req", b, int(requested)))
+            import logging
+
+            logging.getLogger("base").info(
+                f"pp: requested n_micro={requested} does not divide "
+                f"batch={b}; using {m}"
+            )
+    else:
+        target = 4 * s
+        m = b if b <= target else next(
+            (d for d in range(target, b + 1) if b % d == 0), b
+        )
+    if m == 1 and s > 1 and ("bubble", b) not in _micro_warned:
+        _micro_warned.add(("bubble", b))
+        import logging
+
+        logging.getLogger("base").warning(
+            f"pp: batch={b} forces n_micro=1 over {s} stages — the GPipe "
+            f"bubble idles {s - 1}/{s} of the pipeline; batch more images "
+            "per forward (eval_batch) to amortize the fill/drain"
+        )
+    return m
 
 
 def make_stage_mesh(n_stages: int | None = None, devices=None) -> Mesh:

@@ -65,10 +65,12 @@ def make_tp_mesh(
     (batch sharded over 'data', channels over 'model')."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_shards or len(devices) // data
-    if n * data > len(devices):
+    # n >= 1 guard: data > len(devices) would floor n to 0 and build an
+    # empty 'model' mesh whose shard_map failure is inscrutable (ADVICE r3)
+    if n < 1 or data < 1 or n * data > len(devices):
         raise ValueError(
             f"asked for {data}x{n} (data x model) shards but only "
-            f"{len(devices)} devices"
+            f"{len(devices)} devices are available"
         )
     if data > 1:
         return Mesh(

@@ -326,17 +326,31 @@ def _evaluate_dataset_dist(
     """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
 
     from esr_tpu.ops.color import tensor2img, to_uint8_jax
     from esr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
-    n_dev = len(jax.devices())
-    if gpu_ids:
-        n_dev = min(n_dev, len(gpu_ids))
-    mesh = make_mesh(n_dev)
-    shard = batch_sharding(mesh)
+    eval_mesh = getattr(model, "_eval_mesh", None)
+    if eval_mesh is not None:
+        # model forward is TP/PP-sharded (BaseModel._make_forward): reuse its
+        # mesh. TP meshes carry a 'data' axis for the batch; PP stage meshes
+        # replicate the batch (microbatching streams it through the stages),
+        # so the "device count" for chunk sizing is the data-axis extent.
+        mesh = eval_mesh
+        has_data = "data" in mesh.axis_names
+        n_dev = mesh.shape["data"] if has_data else 1
+        shard = NamedSharding(mesh, PartitionSpec("data" if has_data else None))
+        params_sharding = NamedSharding(mesh, PartitionSpec())
+    else:
+        n_dev = len(jax.devices())
+        if gpu_ids:
+            n_dev = min(n_dev, len(gpu_ids))
+        mesh = make_mesh(n_dev)
+        shard = batch_sharding(mesh)
+        params_sharding = replicated(mesh)
     state = getattr(model, "g_state", None) or model.state
-    params = jax.device_put(state.params, replicated(mesh))
+    params = jax.device_put(state.params, params_sharding)
     cem = getattr(model, "cem", None)
 
     # materialize + pad in loader order; z draws are regenerated lazily per
@@ -366,7 +380,10 @@ def _evaluate_dataset_dist(
     # (adjacent images on one device — the r2 shard-local fold grouping;
     # no cross-device permutes)
     g_mod = getattr(model, "g_module", None)
-    fold = max(1, int(getattr(g_mod, "fold", 1) or 1))
+    # _eval_fold: 1 when the forward runs a fold=1 twin under eval_tp/eval_pp
+    fold = getattr(model, "_eval_fold", None) or max(
+        1, int(getattr(g_mod, "fold", 1) or 1)
+    )
     per_dev = max(1, int(per_dev_batch))
     per_dev = -(-per_dev // fold) * fold
     pad_total = fwd_total = 0

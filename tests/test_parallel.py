@@ -479,6 +479,33 @@ def test_tp_trunk_validation():
         tp_rrdb_apply(RRDBNet(nf=8, nb=4, gc=4, fold=2), make_tp_mesh(4))
 
 
+def test_tp_mesh_validation():
+    """ADVICE r3: data > device count used to floor the model axis to 0 and
+    build an empty mesh with an inscrutable downstream shard_map failure."""
+    from esr_tpu.parallel import make_tp_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_tp_mesh(data=16)  # 8 CPU devices -> n = 0
+    with pytest.raises(ValueError, match="devices"):
+        make_tp_mesh(4, data=4)  # 16 > 8
+
+
+def test_derive_n_micro():
+    from esr_tpu.parallel.pipeline import derive_n_micro
+
+    # auto: whole batch when below the 4*stages target...
+    assert derive_n_micro(4, 2) == 4
+    assert derive_n_micro(1, 4) == 1
+    # ...else the smallest divisor >= 4*stages
+    assert derive_n_micro(32, 2) == 8
+    assert derive_n_micro(24, 2) == 8
+    assert derive_n_micro(10, 2) == 10  # no divisor in [8, 10) -> whole batch
+    # requested honored when it divides, else largest divisor below it
+    assert derive_n_micro(8, 2, requested=4) == 4
+    assert derive_n_micro(6, 2, requested=4) == 3
+    assert derive_n_micro(4, 2, requested=99) == 4
+
+
 def test_tp_dp_composed_mesh():
     """DP x TP on a 2-axis ('data','model') 2x4 mesh: batch shards over
     'data', conv channels over 'model'; psums stay model-axis-only. Output
