@@ -28,6 +28,7 @@ __all__ = [
     "TrainState",
     "multistep_schedule",
     "make_adam",
+    "make_parallel_train_step",
     "maybe_dp_step",
     "opt_float",
     "step_keyed",
@@ -89,6 +90,40 @@ def maybe_dp_step(
             mesh,
         )
     return jax.jit(step_fn, donate_argnums=tuple(range(n_state_args))), None
+
+
+def make_parallel_train_step(step_fn, mesh, n_state_args: int, n_extra_args: int = 0):
+    """jit a train step whose generator forward is trunk-parallel
+    (``train_tp``/``train_pp`` — see ``BaseModel._train_parallel_apply``).
+    A mesh with a >1 'data' axis additionally shards the batch over it
+    (DP x TP); a stage-only mesh replicates the batch (the pipeline streams
+    it as microbatches).
+
+    State shardings are deliberately NOT pinned: the TP shard_map's in_specs
+    make XLA emit the updated trunk kernels sharded over 'model' — exactly
+    the wanted steady state (each device stores 1/T of the trunk params and
+    their Adam moments). The first step consumes the replicated initial
+    placement and returns the sharded one; step 2 on reuses it (one extra
+    compile, then stable)."""
+    from esr_tpu.parallel.dp import _check_divisible
+
+    jitted = jax.jit(step_fn, donate_argnums=tuple(range(n_state_args)))
+    if not ("data" in mesh.axis_names and mesh.shape["data"] > 1):
+        return jitted
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    n_data = mesh.shape["data"]
+    n_batch_args = 1
+
+    def step(*args):
+        placed = list(args)
+        for i in range(n_state_args, n_state_args + n_batch_args):
+            _check_divisible(placed[i], n_data)
+            placed[i] = jax.tree.map(lambda x: jax.device_put(x, data), placed[i])
+        return jitted(*placed)
+
+    return step
 
 
 class TrainState(train_state.TrainState):
@@ -236,24 +271,15 @@ class BaseModel:
             apply_raw = tp_rrdb_apply(g_mod, self._eval_mesh)
             use_sf = False
         elif pp > 1:
-            from esr_tpu.parallel import make_stage_mesh, pipelined_rrdb_apply
-            from esr_tpu.parallel.pipeline import derive_n_micro
+            from esr_tpu.parallel import make_stage_mesh
+            from esr_tpu.parallel.pipeline import pipelined_rrdb_apply_auto
 
             self._eval_mesh = make_stage_mesh(pp)
-            req_micro = self.opt.get("eval_pp_micro")
-            pp_cache: dict[int, Any] = {}
-
-            def apply_raw(p, lr, z=None):
-                # batch is static at trace time: pick the microbatch count
-                # per compiled shape (auto >=4*stages when the batch allows)
-                m = derive_n_micro(lr.shape[0], pp, req_micro)
-                fn = pp_cache.get(m)
-                if fn is None:
-                    fn = pp_cache[m] = pipelined_rrdb_apply(
-                        g_mod, self._eval_mesh, n_micro=m
-                    )
-                return fn(p, lr, z)
-
+            # microbatch count derived per compiled batch shape (auto
+            # >=4*stages when the batch allows; eval_pp_micro overrides)
+            apply_raw = pipelined_rrdb_apply_auto(
+                g_mod, self._eval_mesh, requested=self.opt.get("eval_pp_micro")
+            )
             use_sf = False
         else:
 
@@ -286,8 +312,11 @@ class BaseModel:
         ``train_pp``): None/0/false -> disabled (0); a truthy value < 2
         (``true`` — int(True)==1 — or an explicit 1) is a configuration
         error, not a silent no-op (ADVICE r3): the user asked for sharding
-        and must say over how many devices."""
+        and must say over how many devices. Accepted top-level or (for the
+        train_* keys) inside the ``train`` block."""
         v = self.opt.get(key)
+        if v is None:
+            v = (self.opt.get("train") or {}).get(key)
         if not v:
             return 0
         if isinstance(v, bool) or int(v) < 2:
@@ -296,6 +325,73 @@ class BaseModel:
                 f"{v!r}; e.g. {key}: {max(2, len(jax.devices()))}"
             )
         return int(v)
+
+    def _train_parallel_apply(self):
+        """Trunk-parallel generator forward for TRAINING (``train_tp: T`` /
+        ``train_pp: S`` — SURVEY.md §5.8 build column; VERDICT r3 missing
+        #3): returns ``(g_apply, mesh)`` or ``(None, None)``.
+
+        ``train_tp`` channel-shards every trunk conv over a T-device 'model'
+        axis and composes with DP over the remaining devices (a
+        ('data','model') mesh — batch over 'data', kernels over 'model';
+        gradients flow through the same psums, proven equal to sequential in
+        tests/test_parallel.py). ``train_pp`` GPipe-pipelines the trunk over
+        S stages (microbatch count derived from the train batch;
+        ``train_pp_micro`` overrides); the batch is replicated across
+        stages — PP is the params-memory-scaling axis, not a batch axis.
+        Folded generators get a fold=1 twin (identical params), as in
+        :meth:`_make_forward`.
+        """
+        tp = self._parallel_shards("train_tp")
+        pp = self._parallel_shards("train_pp")
+        if tp > 1 and pp > 1:
+            raise ValueError("train_tp and train_pp are mutually exclusive")
+        if not (tp > 1 or pp > 1):
+            return None, None
+        import logging
+
+        _lg = logging.getLogger("base")
+        g_mod = self.g_module
+        if int(getattr(g_mod, "fold", 1) or 1) > 1:
+            g_mod = g_mod.clone(fold=1)
+            _lg.info(
+                "train_tp/train_pp: training through a fold=1 twin of the "
+                "fold=%d generator (identical params)",
+                self.g_module.fold,
+            )
+        if tp > 1:
+            from esr_tpu.parallel import make_tp_mesh, tp_rrdb_apply
+
+            # 'data' axis: as many of the devices TP leaves unused as the
+            # configured train batch can shard over (largest divisor)
+            max_data = max(1, len(jax.devices()) // tp)
+            batch = int(
+                ((self.opt.get("datasets") or {}).get("train") or {}).get(
+                    "batch_size"
+                )
+                or 0
+            )
+            data_n = (
+                max(d for d in range(1, max_data + 1) if batch % d == 0)
+                if batch
+                else max_data
+            )
+            mesh = make_tp_mesh(tp, data=data_n)
+            _lg.info(
+                "train_tp: %dx%d (data x model) mesh — batch sharded over "
+                "'data', trunk channels over 'model'",
+                data_n,
+                tp,
+            )
+            return tp_rrdb_apply(g_mod, mesh), mesh
+        from esr_tpu.parallel import make_stage_mesh
+        from esr_tpu.parallel.pipeline import pipelined_rrdb_apply_auto
+
+        mesh = make_stage_mesh(pp)
+        req = (self.opt.get("train") or {}).get("train_pp_micro") or self.opt.get(
+            "train_pp_micro"
+        )
+        return pipelined_rrdb_apply_auto(g_mod, mesh, requested=req), mesh
 
     def _prep_batch(self, data: dict):
         """Host-side batch prep shared by both trainers' per-step and chunked

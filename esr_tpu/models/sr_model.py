@@ -31,11 +31,24 @@ from esr_tpu.ops.metrics import psnr_jax
 __all__ = ["SRModel", "make_sr_train_step", "make_sr_multi_step"]
 
 
-def make_sr_train_step(g_module, pipeline, pixel_criterion: str = "l1", pixel_weight: float = 1.0):
-    """Pure train step: (state, hr_batch, rng) -> (state', metrics)."""
+def make_sr_train_step(
+    g_module,
+    pipeline,
+    pixel_criterion: str = "l1",
+    pixel_weight: float = 1.0,
+    g_apply=None,
+):
+    """Pure train step: (state, hr_batch, rng) -> (state', metrics).
+
+    ``g_apply``: optional trunk-parallel forward replacing
+    ``g_module.apply`` (``train_tp``/``train_pp`` —
+    BaseModel._train_parallel_apply)."""
 
     def loss_fn(params, batch):
-        sr = g_module.apply({"params": params}, batch["LR"], batch.get("Z"))
+        if g_apply is not None:
+            sr = g_apply(params, batch["LR"], batch.get("Z"))
+        else:
+            sr = g_module.apply({"params": params}, batch["LR"], batch.get("Z"))
         loss = pixel_weight * L.pixel_loss(sr, batch["HR"], pixel_criterion)
         return loss, sr
 
@@ -142,20 +155,29 @@ class SRModel(BaseModel):
             num_latent_channels=self.nz,
             downsample_fn=self._lr_synth.downsample if self._lr_synth else None,
         )
-        from esr_tpu.models.base_model import maybe_dp_step
+        from esr_tpu.models.base_model import make_parallel_train_step, maybe_dp_step
 
+        # train_tp/train_pp: trunk-parallel G forward in the train step
+        g_apply, pmesh = self._train_parallel_apply() if self.is_train else (None, None)
         self._step_fn = make_sr_train_step(
             self.g_module,
             pipeline,
             train_opt.get("pixel_criterion") or "l1",
             opt_float(train_opt, "pixel_weight", 1.0),
+            g_apply=g_apply,
         )
-        self._train_step, self._mesh = maybe_dp_step(
-            self._step_fn,
-            opt,
-            n_state_args=1,
-            n_extra_args=1,
-        )
+        if pmesh is not None:
+            self._train_step = make_parallel_train_step(
+                self._step_fn, pmesh, n_state_args=1, n_extra_args=1
+            )
+            self._mesh = pmesh
+        else:
+            self._train_step, self._mesh = maybe_dp_step(
+                self._step_fn,
+                opt,
+                n_state_args=1,
+                n_extra_args=1,
+            )
         self._multi_step = None  # built lazily on first chunked call
         import logging
 
@@ -198,13 +220,17 @@ class SRModel(BaseModel):
         self._ensure_placed()
         if self._multi_step is None:
             multi = make_sr_multi_step(self._step_fn)
-            if self._mesh is not None:
+            if (
+                self._mesh is not None
+                and "data" in self._mesh.axis_names
+                and self._mesh.shape["data"] > 1
+            ):
                 from esr_tpu.parallel.dp import make_dp_train_step
 
                 self._multi_step = make_dp_train_step(
                     multi, self._mesh, n_state_args=1, n_extra_args=2, batch_dim=1
                 )
-            else:
+            else:  # single device or a stage-only (train_pp) mesh
                 self._multi_step = jax.jit(multi, donate_argnums=(0,))
         self.step = first_step + k - 1
         self.state, metrics = self._multi_step(

@@ -60,6 +60,7 @@ def make_gan_train_step(
     pipeline,
     cfg: dict,
     g_lr_schedule=None,
+    g_apply=None,
 ):
     """Build the pure GAN train step (see module docstring).
 
@@ -69,7 +70,12 @@ def make_gan_train_step(
     exactly under gated G updates (``D_update_ratio``/``D_init_iters``):
     torch's MultiStepLR steps every ITERATION while Adam state advances only
     on real updates — an optax schedule keyed on the optimizer's own count
-    would fire the LR milestones late."""
+    would fire the LR milestones late.
+
+    ``g_apply``: optional ``fn(params, lr, z) -> raw`` replacing
+    ``g_module.apply`` — the hook through which ``train_tp``/``train_pp``
+    swap in a trunk-parallel generator forward (same math, proven
+    gradient-equal in tests/test_parallel.py; BaseModel._train_parallel_apply)."""
     gan_type = cfg.get("gan_type") or "vanilla"
     relativistic = bool(cfg.get("relativistic", True))  # False = SRGAN_model
     w_gp = opt_float(cfg, "gp_weight", 10.0 if gan_type == "wgan-gp" else 0.0)
@@ -83,7 +89,10 @@ def make_gan_train_step(
     d_init = int(cfg.get("D_init_iters") or 0)
 
     def g_forward(params, lr, z):
-        raw = g_module.apply({"params": params}, lr, z)
+        if g_apply is not None:
+            raw = g_apply(params, lr, z)
+        else:
+            raw = g_module.apply({"params": params}, lr, z)
         if cem is not None:
             raw = cem.project(raw, lr)
         return raw
@@ -335,6 +344,8 @@ class SRRaGANModel(BaseModel):
                 num_latent_channels=self.nz,
                 downsample_fn=self._lr_synth.downsample if self._lr_synth else None,
             )
+            # train_tp/train_pp: trunk-parallel G forward in the train step
+            g_apply, pmesh = self._train_parallel_apply()
             step_fn = make_gan_train_step(
                 self.g_module,
                 self.d_module,
@@ -344,11 +355,20 @@ class SRRaGANModel(BaseModel):
                 pipeline,
                 train_opt,
                 g_lr_schedule=g_sched,
+                g_apply=g_apply,
             )
             self._step_fn = step_fn
-            self._train_step, self._mesh = maybe_dp_step(
-                step_fn, opt, n_state_args=2, n_extra_args=2
-            )
+            if pmesh is not None:
+                from esr_tpu.models.base_model import make_parallel_train_step
+
+                self._train_step = make_parallel_train_step(
+                    step_fn, pmesh, n_state_args=2, n_extra_args=2
+                )
+                self._mesh = pmesh
+            else:
+                self._train_step, self._mesh = maybe_dp_step(
+                    step_fn, opt, n_state_args=2, n_extra_args=2
+                )
             self._multi_step = None  # built lazily on first chunked call
         else:
             import optax
@@ -406,14 +426,18 @@ class SRRaGANModel(BaseModel):
         self._ensure_placed()
         if self._multi_step is None:
             multi = make_gan_multi_step(self._step_fn)
-            if self._mesh is not None:
+            if (
+                self._mesh is not None
+                and "data" in self._mesh.axis_names
+                and self._mesh.shape["data"] > 1
+            ):
                 from esr_tpu.parallel.dp import make_dp_train_step
 
                 # batch_dim=1: shard N inside each stacked (k, N, ...) batch
                 self._multi_step = make_dp_train_step(
                     multi, self._mesh, n_state_args=2, n_extra_args=2, batch_dim=1
                 )
-            else:
+            else:  # single device or a stage-only (train_pp) mesh
                 self._multi_step = jax.jit(multi, donate_argnums=(0, 1))
         self.step = first_step + k - 1
         self.g_state, self.d_state, metrics = self._multi_step(

@@ -44,6 +44,7 @@ __all__ = [
     "make_stage_mesh",
     "pipelined_trunk",
     "pipelined_rrdb_apply",
+    "pipelined_rrdb_apply_auto",
     "derive_n_micro",
 ]
 
@@ -184,6 +185,25 @@ def pipelined_trunk(
         in_specs=(P(axis), P()),
         out_specs=P(),
     )
+
+
+def pipelined_rrdb_apply_auto(model, mesh: Mesh, requested=None, axis: str = "stage"):
+    """:func:`pipelined_rrdb_apply` with the microbatch count derived from
+    each call's (trace-time static) batch via :func:`derive_n_micro` —
+    one pipelined program is built per distinct count and cached. Used by
+    both the eval forward (``eval_pp``) and the trainers (``train_pp``),
+    whose batch sizes differ per call site."""
+    n_stages = mesh.shape[axis]
+    cache: dict = {}
+
+    def apply(variables, lr, z=None):
+        m = derive_n_micro(lr.shape[0], n_stages, requested)
+        fn = cache.get(m)
+        if fn is None:
+            fn = cache[m] = pipelined_rrdb_apply(model, mesh, n_micro=m, axis=axis)
+        return fn(variables, lr, z)
+
+    return apply
 
 
 def pipelined_rrdb_apply(model, mesh: Mesh, n_micro: int, axis: str = "stage"):

@@ -6,8 +6,17 @@ convolutional SR net the *natural* "tensor" axes are spatial
 (``parallel/spatial.py`` — the conv analogue of sequence parallelism) and
 batch (DP); channel TP is the third, Megatron-style axis, useful when a
 single image is too small to shard spatially any further but per-step
-latency still matters, and as the memory-scaling axis for hypothetical
-very-wide generators (params and per-conv compute scale 1/T per device).
+latency still matters, and as the PARAMS-memory-scaling axis for
+hypothetical very-wide generators (kernels, their optimizer moments, and
+per-conv compute all scale 1/T per device).
+
+**Memory-scaling limit (be precise about what shards):** activations do
+NOT shard here — every device holds the full replicated feature maps and
+grows them by the per-conv concat (``_rdb_forward_rowparallel``). When
+activation memory is the binding constraint (large spatial extents — the
+usual case for conv SR), compose with the SPATIAL axis
+(``parallel/spatial.py``), which shards H and therefore every activation;
+TP's 1/T savings apply to params + Adam moments + per-conv compute only.
 
 Design (the scaling-book row-parallel recipe, adapted to dense blocks):
 
