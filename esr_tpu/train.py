@@ -149,6 +149,25 @@ def main(argv=None) -> None:
     tlogger = Logger(opt)
     logger.info(f"training for {niter} iters (~{total_epochs} epochs)")
 
+    # relay-stall watchdog (opt-in, SURVEY.md §5.3): the r3 40k soak wedged
+    # inside an RPC with no exception — `watchdog: true` (or a number =
+    # minimum timeout seconds) arms a no-progress heartbeat that exits 86
+    # so a supervisor restarts with --auto_resume (lossless: deterministic
+    # mid-epoch replay). See esr_tpu/utils/watchdog.py.
+    wd = None
+    wd_opt = opt["train"].get("watchdog")
+    if wd_opt:
+        from esr_tpu.utils.watchdog import Watchdog
+
+        wd = Watchdog(
+            min_timeout=600.0 if wd_opt is True else float(wd_opt),
+            factor=float(opt["train"].get("watchdog_factor") or 50.0),
+        )
+        logger.info(
+            f"watchdog armed: min {wd.min_timeout:.0f}s / {wd.factor:.0f}x "
+            "EMA step time"
+        )
+
     epoch = start_epoch  # bound even if the loop body never runs (stale
     # resume state past niter) — the preemption save below references it
     chunk = []  # pending batches; survives epoch boundaries (data only)
@@ -179,6 +198,8 @@ def main(argv=None) -> None:
                 model.feed_data(batch)
                 model.optimize_parameters(current_step)
 
+            if wd is not None:
+                wd.beat(current_step)
             if current_step % print_freq == 0:
                 tlogger.log_scalars(
                     current_step,
@@ -189,10 +210,14 @@ def main(argv=None) -> None:
             if val_loader is not None and current_step % val_freq == 0:
                 metrics = validate(model, val_loader, opt, step=current_step)
                 tlogger.log_validation(current_step, epoch, metrics)
+                if wd is not None:  # val takes >> one step: reset the
+                    wd.beat(count=False)  # silence clock, keep the EMA clean
             if current_step % save_freq == 0:
                 model.save(current_step)
                 model.save_training(epoch, current_step)
                 logger.info(f"checkpoint saved @ iter {current_step}")
+                if wd is not None:
+                    wd.beat(count=False)
         if current_step >= niter or preempted["flag"]:
             break
 
@@ -218,6 +243,8 @@ def main(argv=None) -> None:
         model.save("latest")
         model.save_training(epoch, current_step)
         model.wait_for_checkpoints()
+        if wd is not None:  # armed through the save (a wedged final save is
+            wd.stop()       # exactly the r3 failure); disarmed only now
         signal.signal(signal.SIGTERM, prev_handler)
         logger.info(f"preempted (SIGTERM) — state saved @ iter {current_step}; "
                     "rerun with --auto_resume to continue")
@@ -225,6 +252,8 @@ def main(argv=None) -> None:
     model.save("latest")
     model.save_training(total_epochs, current_step)
     model.wait_for_checkpoints()
+    if wd is not None:
+        wd.stop()
     signal.signal(signal.SIGTERM, prev_handler)
     logger.info("training complete")
 
