@@ -31,6 +31,22 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", required=True, help="path to options JSON")
     parser.add_argument("--save_images", action="store_true")
+    parser.add_argument(
+        "--estimate_kernel",
+        nargs="?",
+        const=2000,
+        type=int,
+        default=None,
+        metavar="ITERS",
+        help="blind eval (SURVEY.md §2.10a 'user/estimated kernel'): "
+        "KernelGAN-estimate the downsampling kernel from each test "
+        "dataset's FIRST LR image and run the CEM-wrapped eval under it "
+        "instead of the bicubic assumption (per-dataset `estimate_kernel: "
+        "true|ITERS` in the dataset block does the same). Optional value = "
+        "estimator iterations (default 2000). Mirrors the explore CLI's "
+        "--estimate_kernel; see also scripts/blind_bench.py for measured "
+        "recovery accuracy",
+    )
     args = parser.parse_args(argv)
 
     from esr_tpu import data as data_mod
@@ -54,11 +70,22 @@ def main(argv=None) -> None:
     setup_logger("base", opt["path"]["log"], "test", screen=True)
     logger = logging.getLogger("base")
 
-    model = create_model(opt)
+    base_model = None  # built once; blind datasets get their own CEM
     for phase, dataset_opt in sorted((opt["datasets"] or {}).items()):
         test_set = data_mod.create_dataset(dataset_opt)
         test_loader = data_mod.create_dataloader(test_set, dataset_opt)
         name = dataset_opt.get("name") or phase
+        est = (
+            args.estimate_kernel
+            if args.estimate_kernel is not None
+            else dataset_opt.get("estimate_kernel")
+        )
+        if est:
+            model = _blind_model(opt, test_set, est, logger)
+        else:
+            if base_model is None:
+                base_model = create_model(opt)
+            model = base_model
         logger.info(f"testing [{name}]: {len(test_set)} images")
         results = evaluate_dataset(
             model,
@@ -83,6 +110,41 @@ def main(argv=None) -> None:
                 f" (textured {results['z_diversity_textured']:.4f})"
             )
         logger.info(msg)
+
+
+def _blind_model(opt, test_set, est, logger):
+    """Blind eval (one flag): estimate the downsampling kernel from the
+    dataset's FIRST LR image (KernelGAN-style, cem/kernelgan.py) and build
+    the model with CEM + LR-domain assumptions under that kernel. One
+    estimate per dataset — blind-SR degradations are dataset-level (one
+    camera/pipeline); per-image estimation would also retrace the CEM
+    forward per image (a compile per kernel). ``est``: True -> default
+    iterations, int -> that many."""
+    from esr_tpu.cem.kernelgan import conf_for_image, estimate_kernel
+    from esr_tpu.models import create_model
+
+    lr0 = np.asarray(test_set[0]["LR"])
+    iters = 2000 if est is True else int(est)
+    conf = conf_for_image(lr0.shape, int(opt.get("scale") or 4), iters)
+    logger.info(
+        f"blind eval: estimating kernel from the first LR image "
+        f"({conf.iters} iters, g_input {conf.g_input})..."
+    )
+    kernel, metrics = estimate_kernel(lr0, conf)
+    logger.info(
+        "estimated kernel: support %dx%d, l_g %.4f" % (*kernel.shape, metrics["l_g"])
+    )
+    if not opt.get("use_cem"):
+        logger.info(
+            "note: use_cem is false — the estimated kernel affects nothing; "
+            "set use_cem: true for consistency under it"
+        )
+    prev = opt.get("kernel")
+    opt["kernel"] = kernel
+    try:
+        return create_model(opt)
+    finally:
+        opt["kernel"] = prev  # later non-blind datasets keep their own config
 
 
 def _local_std_map(gray: np.ndarray, window: int = 7) -> np.ndarray:

