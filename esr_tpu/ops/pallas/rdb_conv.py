@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_rdb5c", "rdb5c_params_from_flax"]
+__all__ = ["fused_rdb5c", "fused_rdb5c_tiled", "rdb5c_params_from_flax"]
 
 _MARGIN = 5  # receptive margin of the 5-conv chain
 
@@ -90,17 +90,21 @@ def _conv3x3_taps(feats, w_ref, b):
     return acc
 
 
-def _make_kernel(strip: int, img_h: int, img_w: int):
+def _make_kernel(strip: int, img_h: int, img_w: int, wtile: int | None = None):
+    """``wtile=None``: 1D grid over row strips (full padded width per
+    program). ``wtile=k``: 2D grid (strips x width tiles); program_id(2)
+    selects the column window so the mask re-zeroes image-edge columns."""
     m = _MARGIN
 
     def kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
-        x = x_ref[0, 0]  # (hp, wp, nf), tile-aligned
+        x = x_ref[0, 0] if wtile is None else x_ref[0, 0, 0]
         dt = x.dtype
         hp, wp = x.shape[0], x.shape[1]
         j = pl.program_id(1)
-        # image-global coordinates of this strip's local rows/cols
+        col0 = 0 if wtile is None else pl.program_id(2) * wtile
+        # image-global coordinates of this tile's local rows/cols
         rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0) + j * strip - m
-        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1) - m
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1) + col0 - m
         inside = (
             (rows >= 0) & (rows < img_h) & (cols >= 0) & (cols < img_w)
         ).astype(jnp.float32)
@@ -117,7 +121,10 @@ def _make_kernel(strip: int, img_h: int, img_w: int):
         x4 = conv([x, x1, x2, x3], w4, b4[:], True)
         x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5, b5[:])
         out = x[m : m + strip].astype(jnp.float32) + 0.2 * x5[m : m + strip]
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+        if wtile is None:
+            out_ref[0, 0] = out.astype(out_ref.dtype)
+        else:
+            out_ref[0, 0, 0] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -172,6 +179,90 @@ def fused_rdb5c(
     )(strips, *weight_args)
     out = out.reshape(n, n_strips * strip, wp, c)
     return out[:, :h, m : m + w]
+
+
+@partial(jax.jit, static_argnames=("interpret", "strip", "wtile"))
+def fused_rdb5c_tiled(
+    x: jax.Array,
+    params: dict,
+    interpret: bool = False,
+    strip: int = 22,
+    wtile: int = 118,
+) -> jax.Array:
+    """Width-tiled variant of :func:`fused_rdb5c` (round-4 probe, VERDICT r3
+    weak #6 / next-step #8).
+
+    2D grid over (batch, row strips, width tiles): each program sees a
+    ``(strip+2m) x (wtile+2m)`` halo window, so VMEM no longer scales with
+    the full image width — this unlocks strip>=22 (the r1 attempt's named
+    blocker: strip=22 at W=512 overflowed the 16MB VMEM stack by 16KB) and
+    larger per-tap matmul M (= tile area) at DIV2K-scale widths.
+
+    Cost model: halo recompute factor = (strip+2m)(wtile+2m)/(strip*wtile)
+    (1.58x at 22x118 vs 2.67x at the old strip=6 full-width), against XLA's
+    conv emitter which recomputes nothing. Both tile dims + 2*margin must be
+    16-aligned (defaults 32 x 128).
+
+    Exactness: same image-global mask as the 1D kernel => identical to the
+    flax block in interpreter mode for any H/W (see tests/test_pallas.py).
+    """
+    n, h, w, c = x.shape
+    m = _MARGIN
+    hs, ws = strip + 2 * m, wtile + 2 * m
+    if hs % 16 or ws % 16:
+        raise ValueError("strip/wtile + 2*margin must be multiples of 16")
+    n_strips = -(-h // strip)
+    n_wtiles = -(-w // wtile)
+    hp_img, wp_img = n_strips * strip, n_wtiles * wtile
+    xp = jnp.pad(
+        x, ((0, 0), (m, hp_img - h + m), (m, wp_img - w + m), (0, 0))
+    )  # zero pad; in-kernel mask restores SAME-conv edge semantics
+    tiles = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    xp[:, i * strip : i * strip + hs, j * wtile : j * wtile + ws]
+                    for j in range(n_wtiles)
+                ],
+                axis=1,
+            )
+            for i in range(n_strips)
+        ],
+        axis=1,
+    )  # (N, n_strips, n_wtiles, hs, ws, c) — overlapping halo windows
+
+    weight_args = []
+    for k in range(1, 6):
+        wk = params[f"w{k}"]
+        weight_args += [
+            wk.reshape(9, wk.shape[2], wk.shape[3]),
+            params[f"b{k}"].reshape(1, -1),
+        ]
+
+    out = pl.pallas_call(
+        _make_kernel(strip, h, w, wtile=wtile),
+        grid=(n, n_strips, n_wtiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, hs, ws, c),
+                lambda i, j, k: (i, j, k, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, strip, ws, c),
+            lambda i, j, k: (i, j, k, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_strips, n_wtiles, strip, ws, c), x.dtype),
+        interpret=interpret,
+    )(tiles, *weight_args)
+    # rows are strip-cropped in-kernel; crop halo columns here (keeps the
+    # out block sublane dim = ws, 16-aligned), then stitch tiles.
+    out = out[:, :, :, :, m : m + wtile]  # (N, S, T, strip, wtile, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp_img, wp_img, c)
+    return out[:, :h, :w]
 
 
 def rdb5c_params_from_flax(rdb_params: dict) -> dict:

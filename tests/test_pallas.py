@@ -31,6 +31,25 @@ def test_fused_rdb5c_nonsquare_and_batch():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_fused_rdb5c_tiled_matches_flax():
+    """Width-tiled variant (r4 probe): many tiles, ragged edges, batch."""
+    from esr_tpu.ops.pallas.rdb_conv import fused_rdb5c_tiled
+
+    nf, gc = 8, 4
+    block = ResidualDenseBlock5C(nf=nf, gc=gc)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 20, nf)), jnp.float32)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    ref = block.apply(variables, x)
+    kp = rdb5c_params_from_flax(variables["params"])
+    # 3x4 tile grid with ragged right/bottom edges
+    got = fused_rdb5c_tiled(x, kp, interpret=True, strip=6, wtile=6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    # single-tile degenerate case == the 1D kernel's path
+    got2 = fused_rdb5c_tiled(x, kp, interpret=True, strip=22, wtile=22)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-4)
+
+
 def test_kpack_conv_matches_lax_conv():
     """K-packed im2col conv (ops/pallas/kpack_conv.py) is exact vs lax.conv
     (interpret mode on the CPU mesh; on-hardware verdict in the docstring)."""
