@@ -5,7 +5,13 @@ from esr_tpu.parallel.pipeline import (
     pipelined_rrdb_apply,
     pipelined_trunk,
 )
-from esr_tpu.parallel.tensor import make_tp_mesh, tp_rrdb_apply, tp_trunk
+from esr_tpu.parallel.tensor import (
+    make_spatial_tp_mesh,
+    make_tp_mesh,
+    spatial_tp_apply,
+    tp_rrdb_apply,
+    tp_trunk,
+)
 from esr_tpu.parallel.spatial import (
     spatial_fold_apply,
     spatial_sharded_forward,

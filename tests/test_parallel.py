@@ -524,3 +524,61 @@ def test_tp_dp_composed_mesh():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(model.apply(variables, lr, z)), atol=2e-6
     )
+
+
+def test_spatial_tp_apply_matches_spatial_and_full():
+    """Composed spatial x TP (r4): on a ('spatial','model') 4x2 mesh the
+    output equals the pure-spatial halo forward at the same halo up to TP's
+    float reduction-order noise (the psum splits each conv's Cin reduction),
+    and agrees with the full forward in the interior."""
+    from esr_tpu.parallel import make_spatial_tp_mesh, spatial_tp_apply
+
+    model = RRDBNet(nf=8, nb=4, gc=4, scale=4, num_latent_channels=1)
+    rng = np.random.default_rng(7)
+    lr = jnp.asarray(rng.random((1, 64, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (1, 64, 16, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), lr, z)
+
+    mesh = make_spatial_tp_mesh(4, 2)
+    assert mesh.shape == {"spatial": 4, "model": 2}
+    fwd = spatial_tp_apply(model, mesh, halo=8)
+    got = jax.jit(fwd)(variables, lr, z)
+
+    # (a) vs the pure-spatial path, same halo: TP noise only
+    def apply_fn(p, lr_, z_=None):
+        return model.apply({"params": p}, lr_, z_)
+
+    sp = spatial_sharded_forward(apply_fn, make_mesh(8, spatial=4), scale=4, halo=8)
+    want_sp = sp(variables["params"], lr, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_sp), atol=2e-5)
+
+    # (b) vs the full forward: interior agreement (same bound as the pure
+    # spatial test; edge rows differ by replicate-vs-zero pad semantics)
+    full = model.apply(variables, lr, z)
+    err = np.abs(np.asarray(got) - np.asarray(full))[:, 32:-32]
+    assert err.mean() < 2e-3, err.mean()
+
+    # z=None path
+    got0 = jax.jit(fwd)(variables, lr)
+    full0 = model.apply(variables, lr)
+    err0 = np.abs(np.asarray(got0) - np.asarray(full0))[:, 32:-32]
+    assert err0.mean() < 2e-3, err0.mean()
+
+
+def test_spatial_tp_apply_validation():
+    from esr_tpu.parallel import make_spatial_tp_mesh, spatial_tp_apply
+
+    mesh = make_spatial_tp_mesh(2, 2)
+    model = RRDBNet(nf=8, nb=2, gc=4, scale=4)
+    variables = {"params": {}}
+    fwd = spatial_tp_apply(model, mesh, halo=8)
+    with pytest.raises(ValueError, match="does not divide"):
+        fwd(variables, jnp.zeros((1, 63, 16, 3)))
+    with pytest.raises(ValueError, match="halo 40 exceeds"):
+        spatial_tp_apply(model, mesh, halo=40)(variables, jnp.zeros((1, 64, 16, 3)))
+    with pytest.raises(ValueError, match="fold=1"):
+        spatial_tp_apply(RRDBNet(nf=8, nb=2, gc=4, fold=2), mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        spatial_tp_apply(RRDBNet(nf=8, nb=2, gc=3), mesh)  # gc=3 vs T=2
+    with pytest.raises(ValueError, match="spatial x model"):
+        make_spatial_tp_mesh(4, 4)  # 16 > 8 devices
