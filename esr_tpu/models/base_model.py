@@ -225,6 +225,15 @@ class BaseModel:
         a fold=1 twin module — fold is an apply-time MXU-lane trick, the
         param tree is identical — so the shipped fold=2 configs work
         unchanged (VERDICT r3 weak #1).
+
+        ``eval_spatial: S`` (r4) shards LR HEIGHT over an S-device
+        'spatial' mesh (ppermute halo exchange, halo via
+        ``eval_spatial_halo``, default 32 — the measured flagship floor
+        with margin); arbitrary eval heights are edge-padded to a shard
+        multiple and cropped back. Composes with ``eval_tp`` into the
+        spatial x TP forward (activations 1/S, trunk params 1/T); mutually
+        exclusive with ``eval_pp`` and with ``dist_eval``/``eval_batch``
+        (batch stays replicated over the spatial mesh).
         """
         import logging
 
@@ -235,12 +244,26 @@ class BaseModel:
 
         tp = self._parallel_shards("eval_tp")
         pp = self._parallel_shards("eval_pp")
+        sp = self._parallel_shards("eval_spatial")
         if tp > 1 and pp > 1:
             raise ValueError("eval_tp and eval_pp are mutually exclusive")
+        if sp > 1 and pp > 1:
+            raise ValueError(
+                "eval_spatial and eval_pp are mutually exclusive (the GPipe "
+                "ring owns the whole trunk; shard H with eval_spatial alone "
+                "or with eval_tp)"
+            )
+        if sp > 1 and (
+            bool(self.opt.get("dist_eval")) or int(self.opt.get("eval_batch") or 0) > 1
+        ):
+            raise ValueError(
+                "eval_spatial does not compose with dist_eval/eval_batch "
+                "(batch stays replicated over the spatial mesh) — drop one"
+            )
         self._eval_mesh = None  # dist/batched evaluator reuses this mesh
         self._eval_fold = fold
         g_mod = self.g_module
-        if tp > 1 or pp > 1:
+        if tp > 1 or pp > 1 or sp > 1:
             if fold > 1:
                 # apply-time-only attribute: checkpoints/params identical
                 g_mod = g_mod.clone(fold=1)
@@ -256,7 +279,50 @@ class BaseModel:
                     "eval_spatial_fold is ignored under eval_tp/eval_pp "
                     "(the sharded trunk replaces the spatial-fold rewrite)"
                 )
-        if tp > 1:
+        if sp > 1:
+            # multi-device spatial axis: LR height halo-sharded over a
+            # 'spatial' mesh (ppermute halo exchange); with eval_tp also
+            # set, the composed spatial x TP forward additionally
+            # row-parallels the trunk over 'model' (activations 1/S,
+            # trunk params/compute 1/T — parallel/tensor.py r4)
+            hv = self.opt.get("eval_spatial_halo")
+            halo = 32 if hv is None else int(hv)
+            if tp > 1:
+                from esr_tpu.parallel import make_spatial_tp_mesh, spatial_tp_apply
+
+                self._eval_mesh = make_spatial_tp_mesh(sp, tp)
+                sharded = spatial_tp_apply(
+                    g_mod, self._eval_mesh, halo=halo, scale=self.scale
+                )
+            else:
+                from esr_tpu.parallel import make_mesh, spatial_window_forward
+
+                self._eval_mesh = make_mesh(sp, spatial=sp)
+                sharded = spatial_window_forward(
+                    lambda p, lr, z=None: g_mod.apply({"params": p}, lr, z),
+                    self._eval_mesh,
+                    scale=self.scale,
+                    halo=halo,
+                )
+
+            def apply_raw(p, lr, z, _f=sharded, _s=sp):
+                # arbitrary eval heights: edge-pad H to a shard multiple
+                # (and to >= 2*halo rows per shard — the window policy's
+                # floor), crop the SR back
+                import jax.numpy as _jnp
+
+                h = lr.shape[1]
+                hp = max(-(-h // _s), 2 * halo) * _s
+                if hp != h:
+                    pad = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+                    lr = _jnp.pad(lr, pad, mode="edge")
+                    if z is not None:
+                        z = _jnp.pad(z, pad, mode="edge")
+                out = _f(p, lr, z)
+                return out[:, : h * self.scale]
+
+            use_sf = False
+        elif tp > 1:
             import jax as _jax
 
             from esr_tpu.parallel import make_tp_mesh, tp_rrdb_apply

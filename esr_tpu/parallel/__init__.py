@@ -15,5 +15,6 @@ from esr_tpu.parallel.tensor import (
 from esr_tpu.parallel.spatial import (
     spatial_fold_apply,
     spatial_sharded_forward,
+    spatial_window_forward,
     tiled_forward,
 )

@@ -258,26 +258,29 @@ def spatial_tp_apply(
     weak #4):
 
     - activations 1/S per device: LR height is sharded over ``spatial_axis``
-      with the same ppermute halo exchange (+ replicate-padded image edges)
-      as ``spatial_sharded_forward``, so every feature map — trunk AND the
-      4x-size HR stages — lives strip-local;
+      using the exact-edge WINDOW policy of
+      ``spatial.spatial_window_forward`` (all_gather the tiny LR, slice an
+      in-image ``local + 2*halo`` window per shard, crop the kept rows from
+      the window's SR) — every feature map, trunk AND the 4x-size HR
+      stages, lives window-local;
     - trunk params + per-conv compute 1/T per device: the RDB convs run
       row-parallel over ``axis`` (one psum per conv, exactly as
-      ``tp_trunk``); pre/post-trunk layers run on the local strip,
+      ``tp_trunk``); pre/post-trunk layers run on the local window,
       replicated over 'model'.
 
-    ONE ``shard_map`` over both axes — the halo ppermutes ride
+    ONE ``shard_map`` over both axes — the LR all_gather rides
     ``spatial_axis``, the reduction psums ride ``axis``; no other
-    collectives. Approximation: identical to ``spatial_sharded_forward``
-    (halo-bounded receptive field, floor reached by halo=8 at flagship
-    depth — see spatial.py); TP itself adds only float reduction-order
-    noise. Wrap the RAW generator; project CEM globally on the gathered
-    output (same rule as the other spatial paths).
+    collectives. Approximation: interior-seam halo decay only (image edges
+    are exact zero-pad SAME — see spatial_window_forward's docstring; the
+    spatial_fold_apply measurement pins bit-exactness by halo=32 at
+    flagship depth); TP adds float reduction-order noise. Wrap the RAW
+    generator; project CEM globally on the gathered output (same rule as
+    the other spatial paths).
     """
     check_trunk_parallel_model(model, "spatial_tp_apply")
     _check_tp_divisible(model, mesh.shape[axis])
-    if halo < 1:
-        raise ValueError("halo must be >= 1 (the ppermute exchange degenerates at 0)")
+    if halo < 0:
+        raise ValueError("halo must be >= 0")
     sc = int(scale if scale is not None else model.scale)
     n_shards = mesh.shape[spatial_axis]
     block_apply = _make_block_apply(model, axis)
@@ -291,22 +294,20 @@ def spatial_tp_apply(
 
     inner_apply = make_outer_apply(model, stage_fn)
 
-    def _exchange(x):
-        # strip-local halo exchange over the spatial ring; image edges
-        # replicate-pad (same policy as spatial_sharded_forward)
-        idx = jax.lax.axis_index(spatial_axis)
-        up = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        down = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-        top = jax.lax.ppermute(x[:, -halo:], spatial_axis, perm=up)
-        bot = jax.lax.ppermute(x[:, :halo], spatial_axis, perm=down)
-        top = jnp.where(idx == 0, x[:, :1].repeat(halo, axis=1), top)
-        bot = jnp.where(idx == n_shards - 1, x[:, -1:].repeat(halo, axis=1), bot)
-        return jnp.concatenate([top, x, bot], axis=1)
-
     def shard_fn(variables, lr, z):
-        z_ext = None if z is None else _exchange(z)
-        sr_ext = inner_apply(variables, _exchange(lr), z_ext)
-        return sr_ext[:, halo * sc : -halo * sc]
+        idx = jax.lax.axis_index(spatial_axis)
+        local = lr.shape[1]
+        h = local * n_shards
+        rows = local + 2 * halo
+        start = jnp.clip(idx * local - halo, 0, h - rows)
+
+        def window(x):
+            full = jax.lax.all_gather(x, spatial_axis, axis=1, tiled=True)
+            return jax.lax.dynamic_slice_in_dim(full, start, rows, axis=1)
+
+        sr_win = inner_apply(variables, window(lr), None if z is None else window(z))
+        keep = (idx * local - start) * sc
+        return jax.lax.dynamic_slice_in_dim(sr_win, keep, local * sc, axis=1)
 
     act_spec = P(None, spatial_axis, None, None)
 
@@ -317,10 +318,11 @@ def spatial_tp_apply(
                 f"LR height {h} does not divide the {n_shards}-shard "
                 f"'{spatial_axis}' axis — pad the image or change the mesh"
             )
-        if halo > h // n_shards:
+        if 2 * halo > h // n_shards:
             raise ValueError(
-                f"halo {halo} exceeds the local strip height {h // n_shards} "
-                f"({h}px / {n_shards} shards) — shrink the halo or the mesh"
+                f"2*halo ({2 * halo}) exceeds the local strip height "
+                f"{h // n_shards} ({h}px / {n_shards} shards) — shrink the "
+                "halo or the mesh"
             )
         param_specs = jax.tree_util.tree_map_with_path(_tp_spec_for(axis), variables)
         if z is None:

@@ -20,7 +20,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+
+# Persistent XLA compile cache for the CPU test backend: suite cost is
+# dominated by per-test jit compiles (~30-60s each on the 1-core host), and
+# a warm cache cuts a representative test 39.9 -> 13.3 s (r4 measurement).
+# Separate dir from the TPU .jax_cache the driver relies on.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".jax_cache_cpu")),
+)
 
 
 def pytest_configure(config):

@@ -22,6 +22,7 @@ def image_dir(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path, image_dir):
     from esr_tpu.train import main as train_main
 
@@ -72,6 +73,7 @@ def test_train_cli_end_to_end(tmp_path, image_dir):
     train_main(["-opt", str(opt_path), "--auto_resume"])
 
 
+@pytest.mark.slow
 def test_train_watchdog_fires_on_stalled_step(tmp_path, image_dir, monkeypatch):
     """`train.watchdog` catches a wedged step through the REAL train CLI
     (VERDICT r3 weak #3 — the 40k soak's relay stall): a step stubbed to
@@ -326,6 +328,7 @@ def test_dihedral_transform_group_properties():
             assert np.abs(outs[i] - outs[j]).max() > 0, (i, j)
 
 
+@pytest.mark.slow
 def test_multi_z_eval_scoring(tmp_path, image_dir, caplog):
     """Explorable eval scores every random Z draw: per-Z PSNR spread +
     pairwise diversity (VERDICT r1 weak #7)."""
@@ -459,6 +462,7 @@ def test_parallel_validation_errors():
         fwd({}, jnp.zeros((1, 16, 16, 3)))  # local strip 2 < halo 4
 
 
+@pytest.mark.slow
 def test_preemption_sigterm_saves_and_resumes(tmp_path, image_dir):
     """SIGTERM during training (cloud preemption notice) finishes the step,
     saves network + training state, exits cleanly; --auto_resume continues
@@ -545,6 +549,7 @@ def _torch_rrdb_state(nb, nf, gc, in_nc=3, seed=0):
     return sd
 
 
+@pytest.mark.slow
 def test_parity_eval_dry_run(tmp_path, image_dir, monkeypatch):
     """Driver metric #3 path: a synthetic torch .pth + synthetic mini-Set5
     flow through parity_eval end-to-end, the report schema holds, and
@@ -584,6 +589,7 @@ def test_parity_eval_dry_run(tmp_path, image_dir, monkeypatch):
     assert "parity_eval ready" in absent["set5_psnr_delta_status"]
 
 
+@pytest.mark.slow
 def test_parity_eval_explorable_checkpoint(tmp_path, image_dir):
     """An explorable checkpoint (conv_first width 3+nz) auto-detects its Z
     channels and scores random draws + CEM residual."""
@@ -630,6 +636,7 @@ def test_net_interp_script(tmp_path):
                      "--out", str(tmp_path / "nope")])
 
 
+@pytest.mark.slow
 def test_train_cli_chunked_dispatch(tmp_path, image_dir):
     """steps_per_dispatch>1: event cadence (print/save) must match the
     per-step loop exactly — chunks are capped at event boundaries."""
@@ -678,6 +685,7 @@ def test_train_cli_chunked_dispatch(tmp_path, image_dir):
     assert any(s.startswith("7.") for s in states), states
 
 
+@pytest.mark.slow
 def test_quickstart_script(tmp_path):
     """The one-command tour (scripts/quickstart) runs the whole workflow:
     synth data -> explorable GAN train -> eval -> one exploration edit."""
@@ -792,6 +800,7 @@ def test_preempted_chunked_run_replays_exactly(tmp_path, image_dir, monkeypatch)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_blind_eval_flag_restores_true_consistency(tmp_path, monkeypatch, caplog):
     """`--estimate_kernel` on the test CLI (VERDICT r3 weak #8): a dataset
     degraded by a non-bicubic kernel evaluated blind must produce SR images
@@ -901,6 +910,7 @@ def test_blind_eval_flag_restores_true_consistency(tmp_path, monkeypatch, caplog
     assert res_wrong > 10 * res_blind, (res_wrong, res_blind)
 
 
+@pytest.mark.slow
 def test_eval_tp_pp_match_serial(tmp_path, image_dir):
     """User-reachable sharded eval forwards: `eval_tp: 4` (channel-TP trunk)
     and `eval_pp: 2` (pipelined trunk) produce the same eval metrics as the
@@ -971,3 +981,69 @@ def test_eval_tp_pp_match_serial(tmp_path, image_dir):
         run({"eval_tp": True})
     with _pytest.raises(ValueError, match="shard count"):
         run({"eval_pp": 1})
+
+
+@pytest.mark.slow
+def test_eval_spatial_matches_serial(tmp_path, image_dir):
+    """`eval_spatial: S` (r4): the multi-device spatial eval forward — alone
+    and composed with eval_tp (spatial x TP) — matches serial eval metrics
+    to within interior-seam halo decay (image edges are EXACT under the
+    window policy), while CEM consistency stays exact (global projection
+    on the gathered output)."""
+    from esr_tpu.models import create_model
+    from esr_tpu.options import parse
+    from esr_tpu.test import evaluate_dataset
+    from esr_tpu import data as data_mod
+
+    base = {
+        "name": "e2e_eval_spatial",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "use_cem": True,
+        "datasets": {
+            "test_1": {"name": "folder", "mode": "LRHR", "dataroot_HR": image_dir}
+        },
+        "path": {"root": str(tmp_path)},
+        "network_G": {
+            "which_model_G": "RRDB_net",
+            "nf": 8,
+            "nb": 2,
+            "gc": 4,
+            "num_latent_channels": 1,
+            "fold": 2,  # shipped production default -> fold=1 twin
+        },
+    }
+
+    import jax
+
+    opt = parse(base, is_train=False)
+    model = create_model(opt)
+    ds_opt = opt["datasets"]["test_1"]
+
+    def run(extra):
+        for k in ("eval_spatial", "eval_spatial_halo", "eval_tp", "eval_pp",
+                  "eval_batch", "dist_eval"):
+            model.opt[k] = extra.get(k)
+        model._forward = jax.jit(model._make_forward())
+        loader = data_mod.create_dataloader(data_mod.create_dataset(ds_opt), ds_opt)
+        return evaluate_dataset(model, loader, opt)
+
+    plain = run({})
+    for extra in (
+        {"eval_spatial": 2, "eval_spatial_halo": 6},  # 24px LR: local=12 rows
+        {"eval_spatial": 4, "eval_spatial_halo": 3},  # local=6 rows
+        {"eval_spatial": 2, "eval_spatial_halo": 6, "eval_tp": 2},  # spatial x TP
+    ):
+        got = run(extra)
+        assert abs(got["psnr"] - plain["psnr"]) < 0.05, (extra, plain, got)
+        assert got["cem_residual"] < 1e-5, (extra, got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run({"eval_spatial": 2, "eval_pp": 2})
+    with _pytest.raises(ValueError, match="does not compose"):
+        run({"eval_spatial": 2, "eval_batch": 2})
+    with _pytest.raises(ValueError, match="shard count"):
+        run({"eval_spatial": True})

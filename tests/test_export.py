@@ -61,6 +61,7 @@ def test_manifest_and_files(artifact):
     assert os.path.isdir(os.path.join(out, "params"))
 
 
+@pytest.mark.slow
 def test_serve_matches_live_forward(artifact):
     """Exact-bucket input: the deserialized function must reproduce the live
     jitted eval forward bit-exactly (same platform, same lowering)."""

@@ -14,8 +14,10 @@ Runs in-suite (~9 s on the CPU host; the scan trunk keeps compile small).
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 
+@pytest.mark.slow
 def test_flagship_torch_oracle_parity_through_cem():
     import torch
     import torch.nn as nn

@@ -38,6 +38,7 @@ def _gaussian_kernel(sup=13, sx=2.4, sy=1.4, theta=0.5):
     return k / k.sum()
 
 
+@pytest.mark.slow
 def test_effective_kernel_is_exact():
     """G(x, stride=False) — a stack of VALID convs — must equal the single
     VALID correlation with the extracted kernel EVERYWHERE (no borders to
@@ -128,6 +129,7 @@ def test_supervised_recovery():
     assert corr > 0.88, (corr, metrics)
 
 
+@pytest.mark.slow
 def test_gan_path_smoke():
     """Full adversarial path on a noise texture: losses stay finite, the
     returned kernel is normalized and centered-ish (COM regularizer active)."""
@@ -179,6 +181,7 @@ def test_image_too_small_raises():
         estimate_kernel(np.zeros((16, 16)), TINY)
 
 
+@pytest.mark.slow
 def test_cli(tmp_path):
     from esr_tpu.scripts.estimate_kernel import main
 

@@ -108,6 +108,7 @@ def test_all_layers_scan_matches_unrolled():
 
 
 @pytest.mark.parametrize("latent", ["first_layer", "all_layers"])
+@pytest.mark.slow
 def test_fold2_matches_unfolded(latent):
     """fold=2 (batch->channel block-diagonal folding, the v5e MXU-lane
     optimization) is numerically equivalent to the unfolded forward with the
@@ -136,6 +137,7 @@ def test_fold2_matches_unfolded(latent):
     np.testing.assert_allclose(np.asarray(yu), np.asarray(yu0), atol=5e-5, rtol=0)
 
 
+@pytest.mark.slow
 def test_fold2_gradients_match():
     """Grads through the folded apply equal the unfolded grads (training can
     run folded) — for BOTH folded backwards: XLA's dense folded-width dW
@@ -168,6 +170,7 @@ def test_fold2_gradients_match():
         blocks_mod.FOLD_CUSTOM_VJP = orig
 
 
+@pytest.mark.slow
 def test_discriminator_shapes():
     model = DiscriminatorVGG128(nf=8)
     x = jnp.zeros((2, 128, 128, 3))
@@ -338,6 +341,7 @@ def test_fused_upsample_conv_equivalence():
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_plain), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_scan_blocks_equivalence():
     """scan_blocks (default) matches the unrolled trunk with stacked params."""
     from esr_tpu.models.networks import stack_rrdb_params
@@ -469,6 +473,7 @@ def test_torch_export_latent_proj_keys():
     assert {"latent_proj.0.weight", "latent_proj.1.bias"} <= set(sd)
 
 
+@pytest.mark.slow
 def test_torch_export_roundtrip_discriminator():
     """discriminator_to_torch inverts load_discriminator_from_torch,
     including BN running stats and the NHWC/NCHW linear1 permutation."""
@@ -543,6 +548,7 @@ def test_remat_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_rdb_equals_dense():
     """The per-source packed RDB formulation (production path) is the same
     function as the concat form: identical param tree, outputs equal to
@@ -584,6 +590,7 @@ def test_packed_rdb_equals_dense():
     assert num / den < 1e-5  # measured ~2e-7: accumulation-order rounding only
 
 
+@pytest.mark.slow
 def test_scale3_rrdb_and_srresnet_with_cem():
     """x3 models (reference lineage supports x2/x3/x4): RRDB takes one
     nearest-x3+conv upsample stage, SRResNet one PixelShuffle(3) stage; CEM

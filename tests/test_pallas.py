@@ -6,8 +6,10 @@ import jax.numpy as jnp
 
 from esr_tpu.models.blocks import ResidualDenseBlock5C
 from esr_tpu.ops.pallas.rdb_conv import fused_rdb5c, rdb5c_params_from_flax
+import pytest
 
 
+@pytest.mark.slow
 def test_fused_rdb5c_matches_flax():
     nf, gc = 16, 8
     block = ResidualDenseBlock5C(nf=nf, gc=gc)
@@ -20,6 +22,7 @@ def test_fused_rdb5c_matches_flax():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_rdb5c_nonsquare_and_batch():
     nf, gc = 8, 4
     block = ResidualDenseBlock5C(nf=nf, gc=gc)
@@ -50,6 +53,7 @@ def test_fused_rdb5c_tiled_matches_flax():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_kpack_conv_matches_lax_conv():
     """K-packed im2col conv (ops/pallas/kpack_conv.py) is exact vs lax.conv
     (interpret mode on the CPU mesh; on-hardware verdict in the docstring)."""

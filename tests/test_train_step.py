@@ -110,6 +110,7 @@ def test_sr_model_loss_decreases(tmp_path):
     assert model.get_current_learning_rate() == pytest.approx(1e-3)
 
 
+@pytest.mark.slow
 def test_sr_model_determinism(tmp_path):
     from esr_tpu.models import create_model
 
@@ -136,6 +137,7 @@ def test_sr_model_test_and_visuals(tmp_path):
     assert vis["SR"].shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_gan_model_step_and_gating(tmp_path):
     from esr_tpu.models import create_model
 
@@ -157,6 +159,7 @@ def test_gan_model_step_and_gating(tmp_path):
     assert float(jnp.abs(d1 - d0).max()) > 0
 
 
+@pytest.mark.slow
 def test_gan_d_init_iters_gates_g(tmp_path):
     from esr_tpu.models import create_model
 
@@ -170,6 +173,7 @@ def test_gan_d_init_iters_gates_g(tmp_path):
     assert float(jnp.abs(g1 - g0).max()) == 0  # G frozen until D_init_iters
 
 
+@pytest.mark.slow
 def test_gan_cem_consistency_after_step(tmp_path):
     """After a GAN train step with CEM, test-time outputs stay consistent."""
     from esr_tpu.models import create_model
@@ -188,6 +192,7 @@ def test_gan_cem_consistency_after_step(tmp_path):
     assert np.abs(lr_back - lr).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from esr_tpu.models import create_model
 
@@ -216,6 +221,7 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_gan_wgan_gp_variant(tmp_path):
     from esr_tpu.models import create_model
 
@@ -247,6 +253,7 @@ def test_packed_dataset_roundtrip(tmp_path):
         create_dataset({"mode": "LRHR", "dataroot_HR": "foo.lmdb"})
 
 
+@pytest.mark.slow
 def test_trainers_data_parallel_via_dist_flag(tmp_path):
     """opt['dist']=True runs the OO trainers over the 8-device mesh and
     matches the single-device loss on the same global batch."""
@@ -347,6 +354,7 @@ def test_gan_training_through_tp_and_pp_trunks(tmp_path):
         create_model(opt2)
 
 
+@pytest.mark.slow
 def test_sr_training_through_tp_trunk(tmp_path):
     """SRModel (pixel trainer) rides the same train_tp hook."""
     from esr_tpu.models import create_model
@@ -406,6 +414,7 @@ def test_json_comment_stripping(tmp_path):
     assert opt["scale"] == 4
 
 
+@pytest.mark.slow
 def test_custom_kernel_training(tmp_path):
     """Top-level 'kernel' opt: LR synthesis and CEM share the estimated
     downsampling operator (blind-SR workflow)."""
@@ -444,6 +453,7 @@ def test_srresnet_trainer_integration(tmp_path):
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
+@pytest.mark.slow
 def test_all_layers_latent_trainer(tmp_path):
     """latent_input='all_layers' (per-block Z injection) trains end-to-end."""
     from esr_tpu.models import create_model
@@ -456,6 +466,7 @@ def test_all_layers_latent_trainer(tmp_path):
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
+@pytest.mark.slow
 def test_srgan_non_relativistic_variant(tmp_path):
     """model='srgan' uses the standard (non-relativistic) adversarial loss."""
     from esr_tpu.models import create_model
@@ -468,6 +479,7 @@ def test_srgan_non_relativistic_variant(tmp_path):
     assert np.isfinite(list(model.get_current_losses().values())).all()
 
 
+@pytest.mark.slow
 def test_paired_lr_training_uses_provided_lr(tmp_path):
     """ADVICE r1 medium: with dataroot_LR configured, trainers must train on
     the PROVIDED LR pairs, not re-synthesized bicubic LR."""
@@ -504,6 +516,7 @@ def test_paired_lr_training_uses_provided_lr(tmp_path):
         model3.optimize_parameters(1)
 
 
+@pytest.mark.slow
 def test_paired_lr_gan_training(tmp_path):
     from esr_tpu.models import create_model
 
@@ -544,6 +557,7 @@ def test_grad_clip_wiring(tmp_path):
     assert np.isfinite(list(gan.get_current_losses().values())).all()
 
 
+@pytest.mark.slow
 def test_auto_dp_when_batch_divides(tmp_path):
     """Reference auto-DataParallel parity: DP turns on automatically when >1
     device and the configured batch divides; dist:false opts out; gpu_ids
@@ -596,6 +610,7 @@ def test_logger_csv_resume_no_duplicate_header(tmp_path):
     assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
 
 
+@pytest.mark.slow
 def test_async_checkpointing_roundtrip(tmp_path):
     """async_checkpoint=True: saves return immediately (background write),
     wait_for_checkpoints makes them durable, restore matches (SURVEY §5.3)."""
@@ -621,6 +636,7 @@ def test_async_checkpointing_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_net_interp_model_checkpoints(tmp_path):
     """net_interp on real model checkpoints: blend two trained-G artifacts
     and load the result back through the normal pretrain path."""
@@ -676,6 +692,7 @@ def _chunk_batches(n=3, bs=2, hr=32, seed=3):
     ]
 
 
+@pytest.mark.slow
 def test_sr_chunked_matches_per_step(tmp_path):
     """optimize_parameters_chunk(k) == k optimize_parameters calls (same rng
     fold per absolute step)."""
@@ -770,6 +787,7 @@ def test_visuals_device_and_uint8_paths(tmp_path):
     assert u8["SR"].dtype == np.uint8 and u8["SR"].shape == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_eval_spatial_fold_default_and_optout(tmp_path):
     """With network_G.fold>1, batch-1 test() auto-splits the image into fold
     H-strips so the MXU fold stays active (BaseModel._make_forward /
@@ -818,6 +836,7 @@ def test_train_errors_on_zero_batch_loader(tmp_path):
         train_main(["-opt", str(opt_path)])
 
 
+@pytest.mark.slow
 def test_train_with_custom_kernel_e2e(tmp_path):
     """Top-level 'kernel' opt (user/estimated downsampling kernel, SURVEY
     §2.10a KernelGAN use case) drives BOTH training LR synthesis and the CEM
@@ -851,6 +870,7 @@ def test_train_with_custom_kernel_e2e(tmp_path):
     assert res_b > 10 * res_k  # and NOT under bicubic (the kernel matters)
 
 
+@pytest.mark.slow
 def test_gan_one_based_gating_semantics(tmp_path):
     """Reference gate parity (``codes/models/SRRaGAN_model.py`` per SURVEY
     §2.11): G updates when ``step % D_update_ratio == 0 AND step >
@@ -871,6 +891,7 @@ def test_gan_one_based_gating_semantics(tmp_path):
     assert float(jnp.abs(g2 - g1).max()) > 0  # step > D_init_iters: updates
 
 
+@pytest.mark.slow
 def test_gan_explicit_zero_weights_honored(tmp_path):
     """An explicit ``gan_weight: 0`` (ablation) must NOT silently fall back
     to the 0.005 default: the G loss then reduces to the non-GAN terms."""
@@ -888,6 +909,7 @@ def test_gan_explicit_zero_weights_honored(tmp_path):
     assert losses["l_g"] == pytest.approx(losses["l_g_pix"], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_g_lr_milestones_track_global_step(tmp_path):
     """Reference MultiStepLR steps every ITERATION, not every G update: with
     D_update_ratio=2 and a milestone that zeroes the LR at step 3, the G
@@ -912,6 +934,7 @@ def test_g_lr_milestones_track_global_step(tmp_path):
     assert float(jnp.abs(g4 - g2).max()) == 0
 
 
+@pytest.mark.slow
 def test_augment_flags_reach_pipeline_from_dataset_block(tmp_path, monkeypatch):
     """`use_flip`/`use_rot` live in the dataset block (reference location);
     both trainers must plumb them into the on-device pipeline."""

@@ -130,6 +130,7 @@ def test_render_text_mask():
         render_text_mask("x", (0, 10))
 
 
+@pytest.mark.slow
 def test_imprint_text_tool_consistent(setup):
     vm, cem = make_vm(setup, n_steps=6)
     vm.pointer_down(8, 8)
@@ -141,6 +142,7 @@ def test_imprint_text_tool_consistent(setup):
     assert np.abs(lr_back - vm.session.lr_img).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_imprint_image_patch_sized_to_bbox(setup):
     vm, _ = make_vm(setup)
     vm.pointer_down(8, 8)
@@ -153,6 +155,7 @@ def test_imprint_image_patch_sized_to_bbox(setup):
     assert "imprint" in msg
 
 
+@pytest.mark.slow
 def test_alternatives_picker_choose_one_of_k(setup):
     vm, cem = make_vm(setup)
     vm.pointer_down(0, 0)
@@ -234,6 +237,7 @@ def test_chunked_lr_decay_matches_single_shot(setup):
     np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_session_save_load_roundtrip(setup, tmp_path):
     vm, _ = make_vm(setup)
     vm.pointer_down(8, 8)
@@ -273,6 +277,7 @@ def test_cli_drives_viewmodel_commands(setup, tmp_path):
     assert "bad arguments" in run_command(sess, "pick 7")
 
 
+@pytest.mark.slow
 def test_sr_cache_and_rubber_band(setup):
     """current_sr() is cached between Z mutations (pointer-event refreshes
     must not redispatch the forward), and an in-progress rect drag renders a

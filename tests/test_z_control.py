@@ -70,12 +70,14 @@ def _mean_local_std(model, params, lr, z_level):
     return float(jnp.mean(L.local_std(sr, 7)))
 
 
+@pytest.mark.slow
 def test_training_converged(trained):
     _, _, losses, _ = trained
     assert np.isfinite(losses).all()
     assert losses[-50:].mean() < losses[:50].mean() * 0.5
 
 
+@pytest.mark.slow
 def test_z_sweep_monotonically_controls_local_variance(trained):
     model, params, _, lr = trained
     levels = [-1.0, -0.5, 0.0, 0.5, 1.0]
@@ -86,6 +88,7 @@ def test_z_sweep_monotonically_controls_local_variance(trained):
     assert stds[-1] - stds[0] > 0.02, stds
 
 
+@pytest.mark.slow
 def test_variance_tool_moves_trained_model_as_gui_assumes(trained):
     """The GUI's variance tool (Z-search against variance_objective) must
     move the trained model's local std in the requested direction."""
