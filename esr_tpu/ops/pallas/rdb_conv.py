@@ -30,6 +30,20 @@ halo recompute (16/6 rows) and small-M matmuls leave it ~6x slower than
 XLA's conv emitter (11.8ms vs 1.9ms) — strip=22 exceeds the 16MB VMEM stack
 by 16KB. The XLA path therefore remains the production default.
 
+Round-4 closure (the LAST named lever, measured — VERDICT r3 #8): width
+tiling (``fused_rdb5c_tiled``) + replacing outer-dim f32 rolls with bf16
+input row-shifts. Findings: (a) the r1 "strip=22 blows VMEM" diagnosis was
+wrong — outer-dim ``pltpu.roll`` at hp=32 crashes the remote Mosaic helper
+(HTTP 500) at ANY width; input row-shift (slice+concat) fixes it and
+strip=22 compiles; (b) a tile-AREA helper ceiling remains: 32x48=1536
+positions OK, 32x64 and 48x48 fail — recompute floor 1.84x; (c) A/B/A
+canary timing: r1-anchor shape XLA 4.07/3.57 ms vs pallas 22x38 7.26 ms
+(**1.9x slower**, was 6.2x in r1); production fold=2 trunk shape XLA
+5.18/4.62 ms vs pallas best 18.21 ms (**3.7-4x slower**). With >=1.84x
+structural recompute against an XLA emitter at 98% peak on wide fusions,
+no feasible geometry wins. CLOSED on measurement. Harness:
+``tiled_probe.py``; ledger: docs/PERFORMANCE.md.
+
 Round-2 closure (why the Pallas route stays shelved, with measurements —
 PROGRESS_NOTES "v5e conv-shape law"): the deficit is CHANNEL-WIDTH, not
 fusion. XLA's conv fusions at >=128-wide channels run at 144-194 TF/s (the
@@ -67,6 +81,16 @@ def _conv3x3_taps(feats, w_ref, b):
     """SAME 3x3 conv over the (virtual) concat of ``feats``.
 
     ``w_ref``: (9, Cin_total, Cout) tap-major VMEM ref; f32 accumulation.
+
+    Row taps (dy) are realized by circular ROW-SHIFTING the bf16 input via
+    slice+concat on the outer dim (3 shifted views per feature), column
+    taps (dx) by a sublane ``pltpu.roll`` of the f32 partial. The r1 form
+    rolled the f32 partial on BOTH dims; outer-dim rolls at hp=32 crash
+    the remote Mosaic helper (r4 isolation: strip=22 fails, strip=6
+    compiles, at any width) — input row-shifts avoid them entirely.
+    ``fsh[r] = f[(r + dy - 1) % hp]`` makes ``acc[r] += fsh[r] @ w_tap``
+    the same circular-wraparound math as the old output roll (garbage
+    lands in the margin/halo; the image-global mask + crop remove it).
     """
     hp, wp = feats[0].shape[0], feats[0].shape[1]
     cout = w_ref.shape[-1]
@@ -74,34 +98,43 @@ def _conv3x3_taps(feats, w_ref, b):
     off = 0
     for f in feats:
         cf = f.shape[-1]
-        f2d = f.reshape(hp * wp, cf)
+        for dy in range(3):
+            s0 = (1 - dy) % hp
+            fsh = f if s0 == 0 else jnp.concatenate([f[hp - s0 :], f[: hp - s0]], 0)
+            f2d = fsh.reshape(hp * wp, cf)
 
-        def body(tap, acc, f2d=f2d, off=off, cf=cf):
-            tap_w = w_ref[tap, off : off + cf, :].astype(f2d.dtype)
-            z = jnp.dot(f2d, tap_w, preferred_element_type=jnp.float32)
-            z = z.reshape(hp, wp, cout)
-            dy, dx = tap // 3, tap % 3
-            z = pltpu.roll(z, (1 - dy) % hp, 0)  # pltpu.roll: shift >= 0
-            z = pltpu.roll(z, (1 - dx) % wp, 1)
-            return acc + z
+            def body(dx, acc, f2d=f2d, dy=dy, off=off, cf=cf):
+                tap_w = w_ref[3 * dy + dx, off : off + cf, :].astype(f2d.dtype)
+                z = jnp.dot(f2d, tap_w, preferred_element_type=jnp.float32)
+                z = z.reshape(hp, wp, cout)
+                z = pltpu.roll(z, (1 - dx) % wp, 1)  # pltpu.roll: shift >= 0
+                return acc + z
 
-        acc = jax.lax.fori_loop(0, 9, body, acc)
+            acc = jax.lax.fori_loop(0, 3, body, acc)
         off += cf
     return acc
 
 
-def _make_kernel(strip: int, img_h: int, img_w: int, wtile: int | None = None):
-    """``wtile=None``: 1D grid over row strips (full padded width per
-    program). ``wtile=k``: 2D grid (strips x width tiles); program_id(2)
-    selects the column window so the mask re-zeroes image-edge columns."""
+def _make_kernel(
+    strip: int, img_h: int, img_w: int, wtile: int | None = None, n_wtiles: int = 1
+):
+    """``wtile=None``: 1D tile axis over row strips (full padded width per
+    program). ``wtile=k``: the flattened tile axis enumerates strips x
+    width tiles (program_id(1) divmod n_wtiles — same 5-D layout as the
+    1D kernel; 6-D inputs hang the remote Mosaic helper, r4) and the mask
+    re-zeroes image-edge columns."""
     m = _MARGIN
 
     def kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, out_ref):
-        x = x_ref[0, 0] if wtile is None else x_ref[0, 0, 0]
+        x = x_ref[0, 0]
         dt = x.dtype
         hp, wp = x.shape[0], x.shape[1]
-        j = pl.program_id(1)
-        col0 = 0 if wtile is None else pl.program_id(2) * wtile
+        idx = pl.program_id(1)
+        if wtile is None:
+            j, col0 = idx, 0
+        else:
+            j = idx // n_wtiles
+            col0 = (idx % n_wtiles) * wtile
         # image-global coordinates of this tile's local rows/cols
         rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 0) + j * strip - m
         cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp, 1), 1) + col0 - m
@@ -121,10 +154,7 @@ def _make_kernel(strip: int, img_h: int, img_w: int, wtile: int | None = None):
         x4 = conv([x, x1, x2, x3], w4, b4[:], True)
         x5 = _conv3x3_taps([x, x1, x2, x3, x4], w5, b5[:])
         out = x[m : m + strip].astype(jnp.float32) + 0.2 * x5[m : m + strip]
-        if wtile is None:
-            out_ref[0, 0] = out.astype(out_ref.dtype)
-        else:
-            out_ref[0, 0, 0] = out.astype(out_ref.dtype)
+        out_ref[0, 0] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -219,17 +249,13 @@ def fused_rdb5c_tiled(
     )  # zero pad; in-kernel mask restores SAME-conv edge semantics
     tiles = jnp.stack(
         [
-            jnp.stack(
-                [
-                    xp[:, i * strip : i * strip + hs, j * wtile : j * wtile + ws]
-                    for j in range(n_wtiles)
-                ],
-                axis=1,
-            )
+            xp[:, i * strip : i * strip + hs, j * wtile : j * wtile + ws]
             for i in range(n_strips)
+            for j in range(n_wtiles)
         ],
         axis=1,
-    )  # (N, n_strips, n_wtiles, hs, ws, c) — overlapping halo windows
+    )  # (N, n_strips*n_wtiles, hs, ws, c) — overlapping halo windows,
+    # strip-major flattened tile axis (5-D: 6-D hangs the Mosaic helper)
 
     weight_args = []
     for k in range(1, 6):
@@ -239,28 +265,26 @@ def fused_rdb5c_tiled(
             params[f"b{k}"].reshape(1, -1),
         ]
 
+    nt = n_strips * n_wtiles
     out = pl.pallas_call(
-        _make_kernel(strip, h, w, wtile=wtile),
-        grid=(n, n_strips, n_wtiles),
+        _make_kernel(strip, h, w, wtile=wtile, n_wtiles=n_wtiles),
+        grid=(n, nt),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, hs, ws, c),
-                lambda i, j, k: (i, j, k, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, 1, hs, ws, c), lambda i, t: (i, t, 0, 0, 0), memory_space=pltpu.VMEM
             )
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, strip, ws, c),
-            lambda i, j, k: (i, j, k, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+            (1, 1, strip, ws, c), lambda i, t: (i, t, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, n_strips, n_wtiles, strip, ws, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, nt, strip, ws, c), x.dtype),
         interpret=interpret,
     )(tiles, *weight_args)
     # rows are strip-cropped in-kernel; crop halo columns here (keeps the
     # out block sublane dim = ws, 16-aligned), then stitch tiles.
-    out = out[:, :, :, :, m : m + wtile]  # (N, S, T, strip, wtile, c)
+    out = out[:, :, :, m : m + wtile]  # (N, S*T, strip, wtile, c)
+    out = out.reshape(n, n_strips, n_wtiles, strip, wtile, c)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp_img, wp_img, c)
     return out[:, :h, :w]
 

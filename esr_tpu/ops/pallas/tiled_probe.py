@@ -53,9 +53,12 @@ def run_tiled_probe(strips=(22, 54), dtype="bfloat16") -> list[dict]:
     )
 
     dt = jnp.dtype(dtype)
+    # wtile=38 (tile 32x48 = 1536 positions at strip=22) is the measured
+    # helper AREA ceiling — wider tiles HTTP-500 the remote Mosaic compile
     cases = [
-        ("trunk_fold2", (8, 128, 128), 128, 64, 134),
-        ("div2k_b1", (1, 336, 504), 64, 32, 134),
+        ("r1_anchor", (4, 96, 96), 64, 32, 38),  # r1 measured: XLA 1.9 / pallas 11.8 ms @ strip=6
+        ("trunk_fold2", (8, 128, 128), 128, 64, 38),
+        ("div2k_b1", (1, 336, 504), 64, 32, 38),
     ]
     results = []
     for name, (n, h, w), nf, gc, wtile in cases:
@@ -68,6 +71,7 @@ def run_tiled_probe(strips=(22, 54), dtype="bfloat16") -> list[dict]:
         # canary: the XLA production block, same process/session
         t_xla = _time_chain(lambda y: block.apply(variables, y), x)
         row = {"case": name, "shape": (n, h, w, nf), "xla_ms": t_xla * 1e3}
+        print(row, flush=True)
         for strip in strips:
             try:
                 t = _time_chain(
@@ -79,8 +83,8 @@ def run_tiled_probe(strips=(22, 54), dtype="bfloat16") -> list[dict]:
                 row[f"pallas_s{strip}_ms"] = t * 1e3
             except Exception as e:  # compile-helper OOM / VMEM overflow
                 row[f"pallas_s{strip}_ms"] = f"FAILED: {type(e).__name__}: {e}"[:200]
+            print({k: row[k] for k in ("case", f"pallas_s{strip}_ms")}, flush=True)
         results.append(row)
-        print(row, flush=True)
     return results
 
 
