@@ -86,11 +86,27 @@ def make_train_pipeline(
         n = hr.shape[0]
         rng_aug, rng_z = jax.random.split(rng)
 
-        if use_flip or use_rot:
+        if use_rot and hr.shape[1] != hr.shape[2]:
+            # the rot90/transpose branches change (H, W) — lax.switch traces
+            # every branch, so even the identity draw would fail cryptically
+            raise ValueError(
+                f"use_rot requires square train crops, got {hr.shape[1]}x"
+                f"{hr.shape[2]} — set use_rot: false for non-square crops"
+            )
+        if use_flip and not use_rot:
+            # hflip-only subgroup {I, H} is shape-preserving: keep it a
+            # 2-way select so non-square crops (train_spatial's tall-crop
+            # regime) can still flip-augment
+            fc = jax.random.randint(rng_aug, (n,), 0, 2)
+            hr = jnp.where(fc[:, None, None, None] == 1, hr[:, :, ::-1, :], hr)
+            if lr_in is not None:
+                lr_in = _norm(lr_in)
+                lr_in = jnp.where(
+                    fc[:, None, None, None] == 1, lr_in[:, :, ::-1, :], lr_in
+                )
+        elif use_flip or use_rot:
             if use_flip and use_rot:
                 codes = jax.random.randint(rng_aug, (n,), 0, 8)
-            elif use_flip:  # hflip only: {I, H}
-                codes = jax.random.randint(rng_aug, (n,), 0, 2)
             else:
                 # rot-only subgroup {I, V, T, T.V} — matches the host path
                 # (data/util.py augment with hflip=False: vflip/rot90 only)

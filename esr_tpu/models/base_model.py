@@ -407,12 +407,37 @@ class BaseModel:
         stages — PP is the params-memory-scaling axis, not a batch axis.
         Folded generators get a fold=1 twin (identical params), as in
         :meth:`_make_forward`.
+
+        ``train_spatial: S`` (r4) halo-shards the LR crop HEIGHT over an
+        S-device 'spatial' axis using the exact-edge window policy
+        (parallel/spatial.py::spatial_window_forward) — the axis that
+        shards TRAINING ACTIVATION memory (every saved trunk feature map,
+        including the 4x HR stages, lives window-local, 1/S per device),
+        enabling train crops too large for one chip. Composes with DP over
+        the leftover devices (('data','spatial') mesh) or with ``train_tp``
+        (('spatial','model') mesh — activations 1/S AND trunk params 1/T,
+        spatial_tp_apply). Unlike train_tp/train_pp this axis is
+        halo-APPROXIMATE: windows carry ``train_spatial_halo`` extra LR
+        rows (auto-derived when unset; the flagship-depth sweep in
+        spatial.py pins the error floor at halo=8, bit-exact by 32), so
+        gradients match the unsharded step exactly only once the halo
+        covers the receptive field — exactness pinned at small depth in
+        tests/test_train_step.py, the decay law in tests/test_parallel.py.
+        Mutually exclusive with ``train_pp`` (the GPipe ring owns the whole
+        trunk).
         """
         tp = self._parallel_shards("train_tp")
         pp = self._parallel_shards("train_pp")
+        sp = self._parallel_shards("train_spatial")
         if tp > 1 and pp > 1:
             raise ValueError("train_tp and train_pp are mutually exclusive")
-        if not (tp > 1 or pp > 1):
+        if sp > 1 and pp > 1:
+            raise ValueError(
+                "train_spatial and train_pp are mutually exclusive (the "
+                "GPipe ring owns the whole trunk; shard H with "
+                "train_spatial alone or with train_tp)"
+            )
+        if not (tp > 1 or pp > 1 or sp > 1):
             return None, None
         import logging
 
@@ -421,10 +446,94 @@ class BaseModel:
         if int(getattr(g_mod, "fold", 1) or 1) > 1:
             g_mod = g_mod.clone(fold=1)
             _lg.info(
-                "train_tp/train_pp: training through a fold=1 twin of the "
-                "fold=%d generator (identical params)",
+                "train_tp/train_pp/train_spatial: training through a fold=1 "
+                "twin of the fold=%d generator (identical params)",
                 self.g_module.fold,
             )
+        if sp > 1:
+            scale = int(self.opt.get("scale") or 4)
+            hr_size = int(
+                ((self.opt.get("datasets") or {}).get("train") or {}).get("HR_size")
+                or 128
+            )
+            local = (hr_size // scale) // sp
+            if local < 2:
+                raise ValueError(
+                    f"train_spatial: {sp} shards leave {local} LR rows per "
+                    f"device at HR_size {hr_size} (scale {scale}) — shrink "
+                    "the shard count or grow the crop"
+                )
+            hv = (self.opt.get("train") or {}).get("train_spatial_halo")
+            if hv is None:
+                hv = self.opt.get("train_spatial_halo")
+            # auto halo: the measured flagship floor (8; bit-exact by 32)
+            # capped at half the local strip so windows fit the crop. Small
+            # crops land below the floor — warn, don't refuse: the axis
+            # exists for LARGE crops (where the cap never binds).
+            halo = min(32, local // 2) if hv is None else int(hv)
+            if 2 * halo > local:
+                raise ValueError(
+                    f"train_spatial_halo {halo} needs 2*halo <= the local "
+                    f"LR strip ({local} rows = HR_size {hr_size} / scale "
+                    f"{scale} / {sp} shards) — shrink the halo/shards or "
+                    "grow the crop"
+                )
+            lvl = _lg.warning if halo < 8 else _lg.info
+            lvl(
+                "train_spatial: %d-way H sharding, halo %d LR rows "
+                "(window %d/%d rows per device)%s",
+                sp,
+                halo,
+                local + 2 * halo,
+                local,
+                " — below the measured halo-decay floor (8); gradients are "
+                "noticeably approximate at this crop size"
+                if halo < 8
+                else "",
+            )
+            if tp > 1:
+                from esr_tpu.parallel import make_spatial_tp_mesh, spatial_tp_apply
+
+                mesh = make_spatial_tp_mesh(sp, tp)
+                _lg.info(
+                    "train_spatial x train_tp: %dx%d (spatial x model) mesh "
+                    "— activations 1/S, trunk params 1/T",
+                    sp,
+                    tp,
+                )
+                return (
+                    spatial_tp_apply(g_mod, mesh, halo=halo, scale=scale),
+                    mesh,
+                )
+            from esr_tpu.parallel import make_mesh, spatial_window_forward
+
+            max_data = max(1, len(jax.devices()) // sp)
+            batch = int(
+                ((self.opt.get("datasets") or {}).get("train") or {}).get(
+                    "batch_size"
+                )
+                or 0
+            )
+            data_n = (
+                max(d for d in range(1, max_data + 1) if batch % d == 0)
+                if batch
+                else max_data
+            )
+            mesh = make_mesh(n_devices=data_n * sp, data=data_n, spatial=sp)
+            _lg.info(
+                "train_spatial: %dx%d (data x spatial) mesh — batch over "
+                "'data', LR height over 'spatial'",
+                data_n,
+                sp,
+            )
+            fwd = spatial_window_forward(
+                lambda p, lr, z=None: g_mod.apply({"params": p}, lr, z),
+                mesh,
+                scale=scale,
+                halo=halo,
+                data_axis="data" if data_n > 1 else None,
+            )
+            return fwd, mesh
         if tp > 1:
             from esr_tpu.parallel import make_tp_mesh, tp_rrdb_apply
 

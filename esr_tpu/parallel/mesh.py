@@ -26,9 +26,15 @@ def make_mesh(
     """Build a (data, spatial) mesh over the available (or given) devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"mesh needs {n} devices (data {data} x spatial {spatial}) but "
+            f"only {len(devices)} are visible — shrink the shard counts or "
+            "add devices (CPU: XLA_FLAGS=--xla_force_host_platform_device_count=N)"
+        )
     devices = devices[:n]
     data = data or (n // spatial)
-    if data * spatial != n:
+    if data < 1 or data * spatial != n:
         raise ValueError(f"data({data}) x spatial({spatial}) != devices({n})")
     dev_array = np.asarray(devices).reshape(data, spatial)
     return Mesh(dev_array, axis_names=("data", "spatial"))

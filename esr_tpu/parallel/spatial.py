@@ -205,8 +205,9 @@ def spatial_window_forward(
     scale: int = 4,
     halo: int = 32,
     axis: str = "spatial",
+    data_axis: str | None = None,
 ):
-    """Exact-edge spatial sharding for EVAL: ``f(params, lr, z) -> sr``.
+    """Exact-edge spatial sharding: ``f(params, lr, z) -> sr``.
 
     ``spatial_sharded_forward`` (above) exchanges halos over a ppermute ring
     and replicate-pads the image edges — cheap and activation-local, but the
@@ -229,6 +230,18 @@ def spatial_window_forward(
 
     Requires ``H % S == 0`` and ``2*halo <= H/S`` (windows must fit the
     image). Wrap the RAW generator; project CEM globally on the output.
+
+    ``data_axis`` (r4, the TRAINING composition): when set, the batch dim
+    additionally shards over that mesh axis (DP x spatial — params stay
+    replicated, so their gradient transpose psums over BOTH axes). The LR
+    all_gather stays ``axis``-only: each data shard gathers only its own
+    batch slice's strips. Autodiff is supported — this wrapper is the
+    ``train_spatial`` generator forward (BaseModel._train_parallel_apply):
+    the window slice transposes to a zero-padded update, the gather to a
+    reduce-scatter, and every saved trunk activation lives window-local,
+    i.e. 1/S per device — spatial is the axis that shards TRAINING
+    activation memory (TP shards params/compute; see tensor.py's
+    memory-limit paragraph).
     """
     n_shards = mesh.shape[axis]
 
@@ -264,8 +277,9 @@ def spatial_window_forward(
         keep = (idx * local - start) * scale
         return jax.lax.dynamic_slice_in_dim(sr_win, keep, local * scale, axis=1)
 
-    in_specs = (P(), P(None, axis, None, None), P(None, axis, None, None))
-    out_specs = P(None, axis, None, None)
+    act = P(data_axis, axis, None, None)
+    in_specs = (P(), act, act)
+    out_specs = act
 
     def fwd(params, lr, z=None):
         _validate(lr)

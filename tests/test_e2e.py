@@ -204,6 +204,37 @@ def test_device_pipeline_rot_only_excludes_flips():
     assert len(seen) == 4  # and all four elements are actually drawn
 
 
+def test_device_pipeline_nonsquare_flip_only():
+    """Non-square crops (train_spatial's tall-crop regime, r4): hflip-only
+    augmentation is shape-preserving and must work; use_rot must fail loudly
+    (rot90 would change (H, W) inside a lax.switch that traces all branches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.data.pipeline import make_train_pipeline
+
+    rng = np.random.default_rng(4)
+    base = rng.random((24, 8, 3)).astype(np.float32)
+    hr = np.broadcast_to(base, (32, 24, 8, 3)).copy()
+    pipe = jax.jit(make_train_pipeline(scale=4, use_flip=True, use_rot=False))
+    out = np.asarray(pipe(jnp.asarray(hr), jax.random.PRNGKey(5))["HR"])
+    assert out.shape == hr.shape
+    flipped = base[:, ::-1, :]
+    n_id = n_fl = 0
+    for i in range(32):
+        if np.allclose(out[i], base):
+            n_id += 1
+        elif np.allclose(out[i], flipped):
+            n_fl += 1
+        else:
+            raise AssertionError(f"sample {i} is neither identity nor hflip")
+    assert n_id > 0 and n_fl > 0  # both subgroup elements drawn
+
+    pipe_rot = make_train_pipeline(scale=4, use_flip=False, use_rot=True)
+    with pytest.raises(ValueError, match="square train crops"):
+        jax.jit(pipe_rot)(jnp.asarray(hr), jax.random.PRNGKey(0))
+
+
 def test_device_pipeline_augment_and_z():
     import jax
     import jax.numpy as jnp

@@ -600,3 +600,41 @@ def test_spatial_tp_apply_validation():
         spatial_tp_apply(RRDBNet(nf=8, nb=2, gc=3), mesh)  # gc=3 vs T=2
     with pytest.raises(ValueError, match="spatial x model"):
         make_spatial_tp_mesh(4, 4)  # 16 > 8 devices
+
+
+def test_spatial_window_forward_grads_match_full():
+    """train_spatial's gradient contract (r4): once the halo covers the
+    receptive field (nb=1 net: ~19 LR px), the window forward's PARAMETER
+    and Z gradients equal the unsharded forward's — dynamic_slice transposes
+    to a zero-padded update, all_gather to a reduce-scatter, replicated
+    params to a psum of per-shard grads. Also exercises the data_axis
+    composition (batch over 'data', height over 'spatial')."""
+    from esr_tpu.parallel import spatial_window_forward
+
+    model = RRDBNet(nf=8, nb=1, gc=4, scale=4, num_latent_channels=1)
+    rng = np.random.default_rng(3)
+    lr = jnp.asarray(rng.random((2, 80, 12, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (2, 80, 12, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), lr[:1], z[:1])
+    cot = jnp.asarray(rng.random((2, 320, 48, 3)), jnp.float32)
+
+    fwd = spatial_window_forward(
+        lambda p, a, b=None: model.apply({"params": p}, a, b),
+        make_mesh(4, data=2, spatial=2),
+        scale=4,
+        halo=20,
+        data_axis="data",
+    )
+
+    def loss(f):
+        return lambda p, zz: jnp.vdot(f(p, lr, zz), cot)
+
+    g_got = jax.grad(loss(jax.jit(fwd)), argnums=(0, 1))(variables["params"], z)
+    g_full = jax.grad(
+        loss(lambda p, a, b: model.apply({"params": p}, a, b)), argnums=(0, 1)
+    )(variables["params"], z)
+    for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_full)):
+        scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-4
+        )

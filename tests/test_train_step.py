@@ -964,3 +964,80 @@ def test_augment_flags_reach_pipeline_from_dataset_block(tmp_path, monkeypatch):
     opt2["datasets"]["train"]["use_rot"] = False
     create_model(opt2)
     assert captured["use_flip"] is False and captured["use_rot"] is False
+
+
+def test_sr_training_through_spatial_trunk(tmp_path):
+    """`train_spatial` (r4): the activation-memory-sharding train axis. With
+    an explicit halo covering the tiny net's receptive field (nb=1: ~19 LR
+    px < 20) the window forward is math-identical to the unsharded one, so
+    N train steps on the ('data','spatial') mesh must match single-device
+    training within the same Adam float-noise bounds as train_tp/train_pp."""
+    from esr_tpu.models import create_model
+
+    def run(extra):
+        opt = tiny_train_opt(tmp_path, model="sr")
+        opt["datasets"]["train"]["HR_size"] = 320  # LR 80 -> 40-row strips
+        opt["datasets"]["train"]["use_rot"] = False  # rot90 needs square crops
+        opt["network_G"]["nb"] = 1
+        opt["dist"] = False
+        opt.update(extra)
+        model = create_model(opt)
+        rng = np.random.default_rng(17)
+        for s in range(1, 3):
+            model.feed_data({"HR": rng.random((2, 320, 32, 3)).astype(np.float32)})
+            model.optimize_parameters(s)
+        return jax.device_get(model.state.params), model.get_current_losses()
+
+    p0, m0 = run({})
+    p1, m1 = run({"train_spatial": 2, "train_spatial_halo": 20})
+    assert m0["l_pix"] == pytest.approx(m1["l_pix"], rel=1e-4)
+    diffs = np.concatenate(
+        [
+            np.abs(np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))
+        ]
+    )
+    # bulk float noise + isolated Adam sign flips (see the TP/PP tests)
+    assert np.percentile(diffs, 99.5) < 1e-6, np.percentile(diffs, 99.5)
+    assert diffs.max() < 1e-2, diffs.max()
+
+
+def test_gan_training_spatial_axes(tmp_path):
+    """train_spatial runs the full GAN step (alone: DP x spatial mesh with
+    auto-derived halo; composed with train_tp: spatial x model mesh) and
+    the option validation catches the misuse modes."""
+    from esr_tpu.models import create_model
+
+    def run(extra, hr=64):
+        opt = tiny_train_opt(tmp_path, model="srragan", nz=1, use_cem=True)
+        opt["datasets"]["train"]["HR_size"] = hr
+        opt["datasets"]["train"]["batch_size"] = 4
+        opt["network_G"]["nb"] = 2
+        opt["network_G"]["fold"] = 2  # shipped config: fold=1 twin expected
+        opt["dist"] = False
+        opt.update(extra)
+        model = create_model(opt)
+        rng = np.random.default_rng(23)
+        for s in range(1, 3):
+            model.feed_data({"HR": rng.random((4, hr, hr, 3)).astype(np.float32)})
+            model.optimize_parameters(s)
+        return model
+
+    m = run({"train_spatial": 2})
+    assert m._mesh.shape == {"data": 4, "spatial": 2}
+    assert np.isfinite(list(m.get_current_losses().values())).all()
+
+    m2 = run({"train_spatial": 2, "train_tp": 2})
+    assert m2._mesh.shape == {"spatial": 2, "model": 2}
+    assert np.isfinite(list(m2.get_current_losses().values())).all()
+
+    opt = tiny_train_opt(tmp_path, model="srragan", nz=1)
+    opt["train_spatial"] = 2
+    opt["train"]["train_pp"] = 2
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        create_model(opt)
+    opt2 = tiny_train_opt(tmp_path, model="srragan", nz=1)
+    opt2["train_spatial"] = 2
+    opt2["train"]["train_spatial_halo"] = 16  # 2*16 > 8-row local strip
+    with pytest.raises(ValueError, match="2\\*halo"):
+        create_model(opt2)
