@@ -365,6 +365,19 @@ class BaseModel:
                 scale=self.scale,
             )
 
+        if self.opt.get("self_ensemble"):
+            from esr_tpu.ops.ensemble import make_self_ensemble
+
+            # outermost wrapper: each of the 8 dihedral variants rides the
+            # full (folded / sharded) forward; CEM below projects the MEAN
+            # once — the constraint set is affine, so the projected mean is
+            # exactly consistent (ops/ensemble.py docstring)
+            apply_raw = make_self_ensemble(apply_raw)
+            _lg.info(
+                "self_ensemble: x8 dihedral eval forward (two batched "
+                "calls: 4 flips + 4 transposed), CEM-projected mean"
+            )
+
         def fwd(params, lr, z):
             raw = apply_raw(params, lr, z)
             if self.cem is not None:

@@ -1,0 +1,107 @@
+"""x8 dihedral self-ensemble eval (`self_ensemble: true`, ops/ensemble.py).
+
+Beyond-reference capability (EDSR-style "enhanced prediction"): the eval
+forward averages the 8 dihedral-transformed raw forwards (two batched calls)
+and CEM-projects the MEAN once — exactly consistent because the constraint
+set is affine. Tests pin (1) the static transform codes against the
+pipeline's lax.switch implementation and the inverse table exhaustively on
+RECTANGULAR batches, (2) ensemble == plain forward for an equivariant
+function (any bookkeeping error breaks this equality), and (3) the e2e model
+forward against a hand-rolled 8-transform average.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esr_tpu.ops.ensemble import INVERSE_CODE, apply_code, make_self_ensemble
+
+
+def test_apply_code_matches_pipeline_and_inverse_table():
+    from esr_tpu.data.pipeline import dihedral_transform
+
+    rng = np.random.default_rng(0)
+    rect = jnp.asarray(rng.random((2, 6, 10, 3)), jnp.float32)
+    square = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    for c in range(8):
+        # same numbering as the traced pipeline transform (square only —
+        # the switch can't unify transposed rect shapes, which is why
+        # apply_code exists)
+        want = jax.vmap(lambda im: dihedral_transform(im, jnp.int32(c)))(square)
+        np.testing.assert_array_equal(np.asarray(apply_code(square, c)), want)
+        # inverse table holds on rectangles (shape round-trips through WxH)
+        back = apply_code(apply_code(rect, c), INVERSE_CODE[c])
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(rect))
+    with pytest.raises(ValueError, match="0..7"):
+        apply_code(rect, 8)
+
+
+def test_ensemble_of_equivariant_fn_is_identity():
+    """NN-upsample of lr*z commutes with every dihedral transform, so the
+    8-way average must equal the plain forward EXACTLY — any wrong inverse
+    code, group slicing, or z mis-transform breaks this."""
+
+    def f(params, lr, z):
+        x = lr * z  # pointwise: equivariant; exercises the z path
+        return jnp.repeat(jnp.repeat(x, 4, axis=1), 4, axis=2)
+
+    rng = np.random.default_rng(1)
+    lr = jnp.asarray(rng.random((3, 5, 9, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (3, 5, 9, 3)), jnp.float32)
+    got = make_self_ensemble(f)(None, lr, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(f(None, lr, z)), atol=1e-6)
+
+    def g(params, lr, z=None):  # z=None path
+        return jnp.repeat(jnp.repeat(lr, 4, axis=1), 4, axis=2)
+
+    got = make_self_ensemble(g)(None, lr, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(g(None, lr)), atol=1e-6)
+
+
+def test_self_ensemble_e2e_matches_manual_average(tmp_path):
+    """`self_ensemble: true` on an eval model (CEM, explorable Z, RECT LR):
+    the jitted forward equals cem.project(mean_c inv_c(G(t_c(LR), t_c(Z))))
+    built by hand from the same params, and the result is exactly
+    CEM-consistent."""
+    from esr_tpu.models import create_model
+    from esr_tpu.options import parse
+
+    base = {
+        "name": "ens_e2e",
+        "model": "sr",
+        "scale": 4,
+        "bf16": False,
+        "use_cem": True,
+        "self_ensemble": True,
+        "datasets": {},
+        "path": {"root": str(tmp_path)},
+        "network_G": {
+            "which_model_G": "RRDB_net",
+            "nf": 8,
+            "nb": 1,
+            "gc": 4,
+            "num_latent_channels": 1,
+        },
+    }
+    model = create_model(parse(base, is_train=False))
+    params = jax.device_get(model.state.params)
+
+    rng = np.random.default_rng(2)
+    lr = jnp.asarray(rng.random((1, 12, 20, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (1, 12, 20, 1)), jnp.float32)
+
+    got = np.asarray(model._forward(params, lr, z))
+
+    acc = None
+    for c in range(8):
+        sr = model.g_module.apply(
+            {"params": params}, apply_code(lr, c), apply_code(z, c)
+        )
+        back = apply_code(sr, INVERSE_CODE[c])
+        acc = back if acc is None else acc + back
+    want = np.asarray(model.cem.project(acc / 8.0, lr))
+
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    residual = np.abs(np.asarray(model.cem.downsample(jnp.asarray(got))) - lr).max()
+    assert residual < 1e-5, residual
