@@ -33,7 +33,7 @@ class LRHRDataset:
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = int(opt.get("scale") or 4)
-        self.hr_size = int(opt.get("HR_size") or 128)
+        self.hr_size = data_util.parse_size(opt.get("HR_size"))  # (H, W)
         self.paths_hr = data_util.get_image_paths(opt.get("dataroot_HR"))
         self.paths_lr = (
             data_util.get_image_paths(opt.get("dataroot_LR"))
@@ -113,9 +113,9 @@ class SyntheticDataset:
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = int(opt.get("scale") or 4)
-        self.hr_size = int(opt.get("HR_size") or 128)
+        self.hr_size = data_util.parse_size(opt.get("HR_size"))  # (H, W)
         self.n = int(opt.get("n_images") or 16)
-        self.image_size = int(opt.get("image_size") or max(self.hr_size, 192))
+        self.image_size = int(opt.get("image_size") or max(*self.hr_size, 192))
         self.seed = int(opt.get("seed") or 0)
         self._epoch = 0
 

@@ -41,7 +41,9 @@ class PackedDataset:
         if not os.path.exists(path + ".npy"):
             raise FileNotFoundError(f"packed dataset not found: {path}.npy")
         self.data = np.load(path + ".npy", mmap_mode="r")
-        self.hr_size = int(opt.get("HR_size") or 128)
+        from esr_tpu.data.util import parse_size
+
+        self.hr_size = parse_size(opt.get("HR_size"))  # (H, W)
         self.seed = int(opt.get("seed") or 0)
         self._epoch = 0
         self.phase = opt.get("phase", "train")
@@ -56,12 +58,12 @@ class PackedDataset:
     def __getitem__(self, index: int) -> dict:
         img = self.data[index]
         h, w = img.shape[:2]
-        hs = self.hr_size
-        if self.phase == "train" and (h > hs or w > hs):
+        sh, sw = self.hr_size
+        if self.phase == "train" and (h > sh or w > sw):
             rng = np.random.default_rng((self.seed, self._epoch, index))
-            y = int(rng.integers(0, h - hs + 1))
-            x = int(rng.integers(0, w - hs + 1))
-            img = img[y : y + hs, x : x + hs]
+            y = int(rng.integers(0, h - sh + 1))
+            x = int(rng.integers(0, w - sw + 1))
+            img = img[y : y + sh, x : x + sw]
         return {
             "HR": np.asarray(img),
             "LR": None,

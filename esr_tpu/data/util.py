@@ -122,12 +122,27 @@ def augment(imgs, hflip: bool = True, rot: bool = True, rng=None):
     return [one(i) for i in imgs]
 
 
-def random_crop_pair(hr: np.ndarray, lr: np.ndarray | None, hr_size: int, scale: int, rng):
-    """Aligned random crop: HR to (hr_size, hr_size), LR to hr_size/scale."""
+def parse_size(v, default: int = 128) -> tuple[int, int]:
+    """``HR_size`` as (H, W): an int means square; a 2-sequence [H, W] means
+    a rectangular crop (the ``train_spatial`` tall-crop regime — note
+    non-square crops require ``use_rot: false``)."""
+    if v is None:
+        return (default, default)
+    if isinstance(v, (list, tuple)):
+        if len(v) != 2:
+            raise ValueError(f"HR_size must be an int or [H, W], got {v!r}")
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def random_crop_pair(hr: np.ndarray, lr: np.ndarray | None, hr_size, scale: int, rng):
+    """Aligned random crop: HR to ``hr_size`` (int -> square, or (H, W)),
+    LR to hr_size/scale."""
+    size_h, size_w = parse_size(hr_size)
     h, w = hr.shape[:2]
-    if h < hr_size or w < hr_size:
+    if h < size_h or w < size_w:
         # pad small images reflectively so tiny datasets still train
-        ph, pw = max(0, hr_size - h), max(0, hr_size - w)
+        ph, pw = max(0, size_h - h), max(0, size_w - w)
         hr = np.pad(hr, ((0, ph), (0, pw), (0, 0)), mode="reflect")
         if lr is not None:
             lr = np.pad(
@@ -135,14 +150,14 @@ def random_crop_pair(hr: np.ndarray, lr: np.ndarray | None, hr_size: int, scale:
             )
         h, w = hr.shape[:2]
     if lr is not None:
-        lr_size = hr_size // scale
-        ly = int(rng.integers(0, h // scale - lr_size + 1))
-        lx = int(rng.integers(0, w // scale - lr_size + 1))
+        lr_h, lr_w = size_h // scale, size_w // scale
+        ly = int(rng.integers(0, h // scale - lr_h + 1))
+        lx = int(rng.integers(0, w // scale - lr_w + 1))
         y, x = ly * scale, lx * scale
         return (
-            hr[y : y + hr_size, x : x + hr_size],
-            lr[ly : ly + lr_size, lx : lx + lr_size],
+            hr[y : y + size_h, x : x + size_w],
+            lr[ly : ly + lr_h, lx : lx + lr_w],
         )
-    y = int(rng.integers(0, h - hr_size + 1))
-    x = int(rng.integers(0, w - hr_size + 1))
-    return hr[y : y + hr_size, x : x + hr_size], None
+    y = int(rng.integers(0, h - size_h + 1))
+    x = int(rng.integers(0, w - size_w + 1))
+    return hr[y : y + size_h, x : x + size_w], None

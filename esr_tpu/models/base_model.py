@@ -464,11 +464,13 @@ class BaseModel:
                 self.g_module.fold,
             )
         if sp > 1:
+            from esr_tpu.data.util import parse_size
+
             scale = int(self.opt.get("scale") or 4)
-            hr_size = int(
+            # HEIGHT is the sharded dim; rectangular [H, W] crops use H
+            hr_size = parse_size(
                 ((self.opt.get("datasets") or {}).get("train") or {}).get("HR_size")
-                or 128
-            )
+            )[0]
             local = (hr_size // scale) // sp
             if local < 2:
                 raise ValueError(

@@ -105,14 +105,16 @@ class SRModel(BaseModel):
         )
 
         rng = jax.random.PRNGKey(int(train_opt.get("manual_seed") or 0))
-        hr_size = int(
-            ((opt.get("datasets") or {}).get("train") or {}).get("HR_size") or 128
+        from esr_tpu.data.util import parse_size
+
+        hr_h, hr_w = parse_size(
+            ((opt.get("datasets") or {}).get("train") or {}).get("HR_size")
         )
-        lr_size = hr_size // self.scale
+        lr_h, lr_w = hr_h // self.scale, hr_w // self.scale
         variables = self.g_module.init(
             rng,
-            jnp.zeros((1, lr_size, lr_size, self.g_module.in_nc)),
-            jnp.zeros((1, lr_size, lr_size, self.nz)) if self.nz else None,
+            jnp.zeros((1, lr_h, lr_w, self.g_module.in_nc)),
+            jnp.zeros((1, lr_h, lr_w, self.nz)) if self.nz else None,
         )
         params = variables["params"]
 

@@ -256,14 +256,16 @@ class SRRaGANModel(BaseModel):
 
         seed = int(train_opt.get("manual_seed") or 0)
         rng = jax.random.PRNGKey(seed)
-        hr_size = int(
-            ((opt.get("datasets") or {}).get("train") or {}).get("HR_size") or 128
+        from esr_tpu.data.util import parse_size
+
+        hr_h, hr_w = parse_size(
+            ((opt.get("datasets") or {}).get("train") or {}).get("HR_size")
         )
-        lr_size = hr_size // self.scale
+        lr_h, lr_w = hr_h // self.scale, hr_w // self.scale
         g_vars = self.g_module.init(
             rng,
-            jnp.zeros((1, lr_size, lr_size, self.g_module.in_nc)),
-            jnp.zeros((1, lr_size, lr_size, self.nz)) if self.nz else None,
+            jnp.zeros((1, lr_h, lr_w, self.g_module.in_nc)),
+            jnp.zeros((1, lr_h, lr_w, self.nz)) if self.nz else None,
         )
         g_params = g_vars["params"]
         if opt["path"].get("pretrain_model_G"):
@@ -271,14 +273,16 @@ class SRRaGANModel(BaseModel):
 
         if self.is_train:
             self.d_module = define_D(opt)
+            # D's Dense head is sized by the train crop — rectangular
+            # HR_size ([H, W]) gives it a (H/32 * W/32 * 8nf)-wide input
             d_vars = self.d_module.init(
                 jax.random.PRNGKey(seed + 1),
-                jnp.zeros((1, hr_size, hr_size, 3)),
+                jnp.zeros((1, hr_h, hr_w, 3)),
                 train=False,
             )
             self.f_module = define_F(opt)
             self.f_variables = self.f_module.init(
-                jax.random.PRNGKey(seed + 2), jnp.zeros((1, hr_size, hr_size, 3))
+                jax.random.PRNGKey(seed + 2), jnp.zeros((1, hr_h, hr_w, 3))
             )
             if opt["path"].get("pretrain_model_F"):
                 self.f_variables = self.load_network(
