@@ -16,17 +16,77 @@ therefore means >= ~13.5 MP/s/chip here.
 Shape sensitivity (round 1): B16/128px runs ~2x faster per pixel than
 B4/192px (15.0 vs 7.7 MP/s) — throughput is occupancy-bound at small
 batches; within a config, repeated runs agree to <0.5% across sessions.
+
+Stall-proofing (round 5, after BENCH_r04 `rc=124/parsed=null`): running
+`python bench.py` starts a jax-free SUPERVISOR that (1) preflights relay
+liveness in a deadline-bounded subprocess, (2) runs the benches in a child
+that streams per-stage results to a progress file, (3) kills the child at
+$BENCH_DEADLINE (default 540 s) and emits whatever was measured. Every path
+prints exactly one parseable JSON line; a wedged relay yields
+`value: null` + `"status": "relay-stalled..."` + the last driver-validated
+numbers as clearly-stale context, never silence. Test hooks:
+BENCH_PREFLIGHT_CMD, BENCH_TEST_HANG_STAGE (tests/test_bench_supervisor.py).
+BENCH_DIRECT=1 bypasses the supervisor for interactive debugging.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 V100_BASELINE_MPS = 2.7  # estimated reference V100 fp32 throughput (see above)
+
+METRIC_NAME = "rrdb_cem_4x_sr_throughput"
+METRIC_UNIT = "HR_megapixels/sec/chip"
+
+# r3 driver-validated numbers (BENCH_r03.json) — the stale-by-reference
+# fallback if the BENCH_r*.json artifacts are not readable at runtime.
+LAST_VALIDATED_FALLBACK = {
+    "source": "hardcoded (BENCH_r03, 2026-08-19)",
+    "value": 26.171,
+    "unit": METRIC_UNIT,
+    "extra": {
+        "train_steps_per_s": 19.000104695634256,
+        "single_image_mp_per_s": 17.062368904277033,
+        "cem_consistency_max_err": 2.652406692504883e-06,
+    },
+}
+
+
+def _repo_dir() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def load_last_validated() -> dict:
+    """Most recent driver-recorded bench with a non-null parsed value.
+
+    Used ONLY to annotate a stall/partial emission (status field context) —
+    never reported as this round's `value` (VERDICT r4 next #1a)."""
+    best = None
+    try:
+        names = sorted(n for n in os.listdir(_repo_dir()) if n.startswith("BENCH_r") and n.endswith(".json"))
+    except OSError:
+        names = []
+    for name in names:
+        try:
+            with open(os.path.join(_repo_dir(), name)) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("value") is not None:
+            best = {
+                "source": name,
+                "value": parsed["value"],
+                "unit": parsed.get("unit"),
+                "extra": parsed.get("extra", {}),
+            }
+    return best or dict(LAST_VALIDATED_FALLBACK)
 
 
 def bench_inference(batch: int = 16, lr_size: int = 128, iters: int = 12) -> dict:
@@ -37,8 +97,9 @@ def bench_inference(batch: int = 16, lr_size: int = 128, iters: int = 12) -> dic
     from esr_tpu.models.architecture import RRDBNet
 
     fold = int(os.environ.get("BENCH_FOLD", 2))  # batch->channel MXU-lane fold
+    nb = int(os.environ.get("BENCH_NB", 23))  # trunk depth (tests shrink it)
     model = RRDBNet(
-        nf=64, nb=23, gc=32, scale=4, num_latent_channels=1, fold=fold,
+        nf=64, nb=nb, gc=32, scale=4, num_latent_channels=1, fold=fold,
         dtype=jnp.bfloat16,
     )
     cem = make_cem(CEMConf(scale=4))
@@ -47,7 +108,7 @@ def bench_inference(batch: int = 16, lr_size: int = 128, iters: int = 12) -> dic
     z = jnp.zeros((batch, lr_size, lr_size, 1), jnp.float32)
     # real Kaiming init at a tiny shape (conv params are shape-independent;
     # scan trunk keeps this compile small) so numerics are realistic
-    params = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1).init(
+    params = RRDBNet(nf=64, nb=nb, gc=32, scale=4, num_latent_channels=1).init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8, 1))
     )["params"]
 
@@ -93,10 +154,11 @@ def bench_single_image(h: int = 336, w: int = 504, iters: int = 6) -> dict:
     from esr_tpu.parallel import spatial_fold_apply
 
     fold = int(os.environ.get("BENCH_FOLD", 2))
-    model = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1,
+    nb = int(os.environ.get("BENCH_NB", 23))
+    model = RRDBNet(nf=64, nb=nb, gc=32, scale=4, num_latent_channels=1,
                     fold=fold, dtype=jnp.bfloat16)
     cem = make_cem(CEMConf(scale=4))
-    params = RRDBNet(nf=64, nb=23, gc=32, scale=4, num_latent_channels=1).init(
+    params = RRDBNet(nf=64, nb=nb, gc=32, scale=4, num_latent_channels=1).init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8, 8, 1))
     )["params"]
     lr0 = jnp.asarray(np.random.default_rng(0).random((1, h, w, 3)), jnp.float32)
@@ -137,7 +199,8 @@ def bench_gan_train(batch: int = 16, hr_size: int = 128, iters: int = 30) -> dic
 
     scale, nz = 4, 1
     fold = int(os.environ.get("BENCH_FOLD", 2))
-    g_module = RRDBNet(nf=64, nb=23, gc=32, scale=scale, num_latent_channels=nz,
+    nb = int(os.environ.get("BENCH_NB", 23))
+    g_module = RRDBNet(nf=64, nb=nb, gc=32, scale=scale, num_latent_channels=nz,
                        fold=fold, dtype=jnp.bfloat16)
     d_module = DiscriminatorVGG128(nf=64, dtype=jnp.bfloat16)
     f_module = VGG19FeatureExtractor(dtype=jnp.bfloat16)
@@ -204,16 +267,59 @@ def read_parity_report() -> dict:
     }
 
 
-def main() -> None:
+def _assemble_line(mp_per_s: float | None, extra: dict) -> str:
+    """The driver-contract line. `value` carries ONLY a number measured in
+    THIS run — never a stale one (VERDICT r4 next #1a)."""
+    return json.dumps(
+        {
+            "metric": METRIC_NAME,
+            "value": round(mp_per_s, 3) if mp_per_s is not None else None,
+            "unit": METRIC_UNIT,
+            "vs_baseline": round(mp_per_s / V100_BASELINE_MPS, 2) if mp_per_s is not None else None,
+            "extra": extra,
+        }
+    )
+
+
+# -- child: runs the actual benches, streams per-stage progress ------------
+
+
+def child_main() -> None:
+    """Executes the benches (device work happens ONLY here). After every
+    stage it appends a JSON record to $BENCH_PROGRESS_FILE and fsyncs, so
+    the supervisor can assemble a partial result if the relay wedges
+    mid-stage (the r3-soak / r4-bench failure mode: the process sleeps
+    forever inside an RPC; no exception, no signal delivery — only an
+    external process can recover)."""
     import jax
 
-    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    cache = os.path.join(_repo_dir(), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+    progress_path = os.environ.get("BENCH_PROGRESS_FILE")
+    hang_stage = os.environ.get("BENCH_TEST_HANG_STAGE")  # test hook
+
+    def note(event: str, stage: str, data: dict | None = None) -> None:
+        if not progress_path:
+            return
+        with open(progress_path, "a") as fh:
+            fh.write(json.dumps({"event": event, "stage": stage, "data": data}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def stage(name):
+        note("start", name)
+        if hang_stage == name:
+            time.sleep(10 ** 6)  # simulate a wedged relay RPC
+
+    stage("inference")
     result = bench_inference(
         batch=int(os.environ.get("BENCH_BATCH", 16)),
         lr_size=int(os.environ.get("BENCH_LR_SIZE", 128)),
         iters=int(os.environ.get("BENCH_ITERS", 12)),
     )
+    note("done", "inference", result)
     extra = {
         "config": {
             "batch": int(os.environ.get("BENCH_BATCH", 16)),
@@ -227,7 +333,9 @@ def main() -> None:
         # batch-1 DIV2K-scale eval via the spatial-fold path; never let a
         # secondary bench failure swallow the primary metric line
         try:
-            extra.update(bench_single_image())
+            stage("single_image")
+            extra.update(single := bench_single_image())
+            note("done", "single_image", single)
         except Exception as e:  # noqa: BLE001
             extra["single_image_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     if os.environ.get("BENCH_TRAIN", "1") != "0":
@@ -236,20 +344,160 @@ def main() -> None:
         # donated states dependency-chain the timing loop. Never let a train
         # bench failure swallow the primary metric line.
         try:
-            extra.update(bench_gan_train())
+            stage("gan_train")
+            extra.update(train := bench_gan_train())
+            note("done", "gan_train", train)
         except Exception as e:  # noqa: BLE001
             extra["train_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
-    print(
-        json.dumps(
-            {
-                "metric": "rrdb_cem_4x_sr_throughput",
-                "value": round(result["mp_per_s"], 3),
-                "unit": "HR_megapixels/sec/chip",
-                "vs_baseline": round(result["mp_per_s"] / V100_BASELINE_MPS, 2),
-                "extra": extra,
-            }
+    extra["status"] = "ok"
+    print(_assemble_line(result["mp_per_s"], extra), flush=True)
+
+
+# -- supervisor: deadline-enforced, jax-free, always emits one line --------
+
+PREFLIGHT_CODE = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+f = jax.jit(lambda a: (a @ a).sum())
+x = jnp.ones((128, 128), jnp.bfloat16)
+r = float(f(x))          # host fetch fences compile + execute through the relay
+r2 = float(f(x * 0 + 2))  # second dispatch: past compile, pure execute latency
+# liveness check, not a numerics check (bf16 reduce order differs across
+# backends): both fetches returned and are sane
+import math
+assert math.isfinite(r) and math.isfinite(r2) and r > 0 and r2 > r, (r, r2)
+"""
+
+
+def _preflight(deadline: float) -> str | None:
+    """Tiny chained program in a SUBPROCESS with a hard deadline. Returns
+    None if the relay is alive, else a human-readable failure string. A
+    wedged relay blocks uninterruptibly inside C++ RPC code (twice measured:
+    r3 40k-soak, r4 driver bench), so in-process alarms are unreliable —
+    only process isolation gives a guaranteed verdict."""
+    override = os.environ.get("BENCH_PREFLIGHT_CMD")  # test hook
+    if override is not None:
+        argv = ["/bin/sh", "-c", override]
+    else:
+        argv = [sys.executable, "-c", PREFLIGHT_CODE.format(cache=os.path.join(_repo_dir(), ".jax_cache"))]
+    t0 = time.monotonic()
+    try:
+        proc = subprocess.run(
+            argv, timeout=deadline, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE, text=True,
         )
+    except subprocess.TimeoutExpired:
+        return f"preflight exceeded {deadline:.0f}s deadline (relay wedged or backend init stalled)"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or [""]
+        return f"preflight exited rc={proc.returncode} after {time.monotonic() - t0:.0f}s: {tail[0][:160]}"
+    return None
+
+
+def _read_progress(path: str) -> tuple[dict, str | None]:
+    """(completed stage -> data, stage that started but never finished)."""
+    done: dict = {}
+    started: str | None = None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("event") == "start":
+                    started = rec.get("stage")
+                elif rec.get("event") == "done":
+                    done[rec["stage"]] = rec.get("data")
+                    if started == rec.get("stage"):
+                        started = None
+    except OSError:
+        pass
+    return done, started
+
+
+def supervise() -> None:
+    """Driver entry: guarantees exactly one parseable JSON line on stdout
+    within $BENCH_DEADLINE (default 540 s — safely under the driver's
+    external `timeout`, which produced rc=124/parsed=null in r4), whatever
+    the relay does. Preflight failure -> a `relay-stalled` line citing the
+    last driver-validated numbers as stale context (never as `value`);
+    mid-bench wedge -> child killed, partial stages emitted."""
+    t0 = time.monotonic()
+    total = float(os.environ.get("BENCH_DEADLINE", 540))
+    margin = float(os.environ.get("BENCH_MARGIN", min(12.0, 0.08 * total + 2)))
+    pf_deadline = min(float(os.environ.get("BENCH_PREFLIGHT_DEADLINE", 180)), total - margin)
+
+    fail = _preflight(pf_deadline)
+    if fail is not None:
+        extra = {
+            "status": f"relay-stalled: {fail}",
+            "last_validated_stale": load_last_validated(),
+            **read_parity_report(),
+        }
+        print(_assemble_line(None, extra), flush=True)
+        return
+
+    progress_path = os.path.join(
+        _repo_dir(), ".jax_cache", f"bench_progress_{os.getpid()}.jsonl"
     )
+    os.makedirs(os.path.dirname(progress_path), exist_ok=True)
+    open(progress_path, "w").close()
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    env["BENCH_PROGRESS_FILE"] = progress_path
+    budget = total - (time.monotonic() - t0) - margin
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, text=True,  # stderr inherits (diagnostics)
+    )
+    timed_out = False
+    try:
+        out, _ = child.communicate(timeout=budget)
+    except subprocess.TimeoutExpired:
+        timed_out = True
+        child.kill()  # direct-PID kill of our own Popen (no pattern match)
+        out, _ = child.communicate()
+    finally:
+        done, hung_stage = _read_progress(progress_path)
+        try:
+            os.remove(progress_path)
+        except OSError:
+            pass
+
+    if not timed_out and child.returncode == 0:
+        for line in reversed((out or "").splitlines()):
+            if line.startswith("{"):
+                print(line, flush=True)
+                return
+        # fall through: child "succeeded" without printing — treat as partial
+
+    cause = (
+        f"child exceeded {budget:.0f}s budget" if timed_out
+        else f"child exited rc={child.returncode}"
+    )
+    where = f" during stage '{hung_stage}'" if hung_stage else ""
+    inference = done.get("inference") or {}
+    mp = inference.get("mp_per_s")
+    extra = {
+        "status": f"partial: {cause}{where}; completed stages: {sorted(done)}",
+        **read_parity_report(),
+    }
+    if "cem_residual" in inference:
+        extra["cem_consistency_max_err"] = inference["cem_residual"]
+    for key in ("single_image", "gan_train"):
+        if done.get(key):
+            extra.update(done[key])
+    if mp is None:
+        extra["last_validated_stale"] = load_last_validated()
+    print(_assemble_line(mp, extra), flush=True)
+
+
+def main() -> None:
+    if os.environ.get("BENCH_CHILD") == "1" or os.environ.get("BENCH_DIRECT") == "1":
+        child_main()
+    else:
+        supervise()
 
 
 if __name__ == "__main__":

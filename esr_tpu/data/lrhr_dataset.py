@@ -45,6 +45,21 @@ class LRHRDataset:
         self.seed = int(opt.get("seed") or 0)
         self._epoch = 0
         self.on_device_processing = bool(opt.get("on_device_processing", True))
+        # mirror the device pipeline's guard (pipeline.py): rot90 on a
+        # rectangular crop transposes PER-SAMPLE, so a host-augmented batch
+        # would mix (H,W)/(W,H) shapes and crash collation (ADVICE r4)
+        if (
+            self.phase == "train"
+            and not self.on_device_processing
+            and bool(opt.get("use_rot", True))
+            and self.hr_size is not None
+            and self.hr_size[0] != self.hr_size[1]
+        ):
+            raise ValueError(
+                f"use_rot requires square train crops, got HR_size "
+                f"{self.hr_size[0]}x{self.hr_size[1]} — set use_rot: false "
+                "for non-square crops"
+            )
 
     def set_epoch(self, epoch: int) -> None:
         """Crop/augment draws are a pure function of (seed, epoch, index) —

@@ -59,7 +59,18 @@ class PackedDataset:
         img = self.data[index]
         h, w = img.shape[:2]
         sh, sw = self.hr_size
-        if self.phase == "train" and (h > sh or w > sw):
+        if self.phase == "train" and (h != sh or w != sw):
+            if h < sh or w < sw:
+                # reflect-pad undersized dims like util.random_crop_pair so
+                # a crop larger than the packed image in ONE dim still works
+                # (ADVICE r4: h>sh with w<sw gave integers() a non-positive
+                # high and raised)
+                img = np.pad(
+                    img,
+                    ((0, max(0, sh - h)), (0, max(0, sw - w)), (0, 0)),
+                    mode="reflect",
+                )
+                h, w = img.shape[:2]
             rng = np.random.default_rng((self.seed, self._epoch, index))
             y = int(rng.integers(0, h - sh + 1))
             x = int(rng.integers(0, w - sw + 1))

@@ -471,7 +471,18 @@ class BaseModel:
             hr_size = parse_size(
                 ((self.opt.get("datasets") or {}).get("train") or {}).get("HR_size")
             )[0]
-            local = (hr_size // scale) // sp
+            lr_rows = hr_size // scale
+            if lr_rows % sp:
+                # surface the shard_map divisibility requirement HERE with
+                # the config knobs in the message, not as a generic spec
+                # validation error at first step (ADVICE r4)
+                raise ValueError(
+                    f"train_spatial: LR crop height {lr_rows} (HR_size "
+                    f"{hr_size} / scale {scale}) does not divide over "
+                    f"{sp} spatial shards — pick HR_size so that "
+                    f"(HR_size/scale) % {sp} == 0, or change train_spatial"
+                )
+            local = lr_rows // sp
             if local < 2:
                 raise ValueError(
                     f"train_spatial: {sp} shards leave {local} LR rows per "

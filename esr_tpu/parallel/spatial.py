@@ -244,6 +244,11 @@ def spatial_window_forward(
     memory-limit paragraph).
     """
     n_shards = mesh.shape[axis]
+    if n_shards == 1:
+        # single shard: the window IS the full image; a nonzero halo would
+        # slice local+2*halo rows from an h==local image (trace-time crash
+        # — ADVICE r4). Exactness is unaffected: halo only feeds seams.
+        halo = 0
 
     def _validate(lr):
         if halo < 0:

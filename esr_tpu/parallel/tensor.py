@@ -283,6 +283,11 @@ def spatial_tp_apply(
         raise ValueError("halo must be >= 0")
     sc = int(scale if scale is not None else model.scale)
     n_shards = mesh.shape[spatial_axis]
+    if n_shards == 1:
+        # single spatial shard: the window IS the full image; a nonzero halo
+        # would slice local+2*halo rows from an h==local image (trace-time
+        # crash — ADVICE r4, same fix as spatial_window_forward)
+        halo = 0
     block_apply = _make_block_apply(model, axis)
 
     def stage_fn(blocks, carry):

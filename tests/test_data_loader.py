@@ -154,3 +154,54 @@ def test_packed_dataset_stateless_draws(tmp_path):
     assert a.dtype == np.uint8 and (a == ds[1]["HR"]).all()
     ds.set_epoch(7)
     assert not (a == ds[1]["HR"]).all()
+
+
+def test_packed_rect_crop_pads_undersized_dim(tmp_path):
+    """ADVICE r4: a rectangular HR_size larger than the packed image in ONE
+    dim (h > sh, w < sw) must reflect-pad that dim instead of handing
+    rng.integers a non-positive high."""
+    from esr_tpu.data import create_dataset
+    from esr_tpu.data.packed import write_packed
+
+    rng = np.random.default_rng(0)
+    write_packed(
+        [rng.integers(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(2)],
+        str(tmp_path / "pack"),
+    )
+    ds = create_dataset(
+        {
+            "mode": "PACKED",
+            "phase": "train",
+            "dataroot_HR": str(tmp_path / "pack"),
+            "HR_size": [16, 32],  # 24 > 16 but 24 < 32
+        }
+    )
+    s = ds[0]["HR"]
+    assert s.shape == (16, 32, 3) and s.dtype == np.uint8
+
+
+def test_lrhr_host_augment_rejects_rot_on_rect_crops(tmp_path):
+    """ADVICE r4 (medium): the host augment path (on_device_processing off)
+    mirrors the device pipeline's guard — rot90 on rectangular crops would
+    mix (H,W)/(W,H) samples and crash collation."""
+    import pytest
+
+    from esr_tpu.data import create_dataset
+    from esr_tpu.data.util import save_img
+
+    rng = np.random.default_rng(0)
+    save_img(
+        rng.integers(0, 256, (48, 48, 3), dtype=np.uint8), str(tmp_path / "im0.png")
+    )
+    opt = {
+        "mode": "LRHR",
+        "phase": "train",
+        "dataroot_HR": str(tmp_path),
+        "HR_size": [16, 32],
+        "on_device_processing": False,
+    }
+    with pytest.raises(ValueError, match="use_rot requires square"):
+        create_dataset(dict(opt))
+    # explicit opt-out works, and the on-device path defers to pipeline.py
+    create_dataset(dict(opt, use_rot=False))
+    create_dataset(dict(opt, on_device_processing=True))

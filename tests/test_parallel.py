@@ -638,3 +638,37 @@ def test_spatial_window_forward_grads_match_full():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-4
         )
+
+
+def test_spatial_window_forward_single_shard_is_exact():
+    """ADVICE r4: n_shards==1 with the default halo>0 tried to slice a
+    local+2*halo-row window out of an h==local image (trace-time crash in
+    dryrun_multichip(1)). The halo is clamped to 0 there — the window is the
+    whole image, so the result is bit-identical to the plain forward. Same
+    clamp in the composed spatial x TP path (tensor.py)."""
+    from esr_tpu.parallel import (
+        make_mesh,
+        make_spatial_tp_mesh,
+        spatial_tp_apply,
+        spatial_window_forward,
+    )
+
+    model = RRDBNet(nf=8, nb=1, gc=4, scale=4, num_latent_channels=1)
+    rng = np.random.default_rng(3)
+    lr = jnp.asarray(rng.random((1, 8, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (1, 8, 16, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), lr, z)
+
+    def apply_fn(p, lr_, z_=None):
+        return model.apply({"params": p}, lr_, z_)
+
+    fwd = spatial_window_forward(
+        apply_fn, make_mesh(1, spatial=1), scale=4, halo=2
+    )
+    got = jax.jit(fwd)(variables["params"], lr, z)
+    full = model.apply(variables, lr, z)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(full))
+
+    fwd_tp = spatial_tp_apply(model, make_spatial_tp_mesh(1, 2), halo=2)
+    got_tp = jax.jit(fwd_tp)(variables, lr, z)
+    np.testing.assert_allclose(np.asarray(got_tp), np.asarray(full), atol=2e-5)

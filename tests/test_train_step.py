@@ -1041,3 +1041,16 @@ def test_gan_training_spatial_axes(tmp_path):
     opt2["train"]["train_spatial_halo"] = 16  # 2*16 > 8-row local strip
     with pytest.raises(ValueError, match="2\\*halo"):
         create_model(opt2)
+
+
+def test_train_spatial_divisibility_validated_upfront(tmp_path):
+    """ADVICE r4: (HR_size/scale) % train_spatial != 0 used to surface as a
+    generic shard_map spec error at the first step; now it's an actionable
+    ValueError at model construction."""
+    from esr_tpu.models import create_model
+
+    opt = tiny_train_opt(tmp_path, model="sr")
+    opt["datasets"]["train"]["HR_size"] = 64  # LR rows 16
+    opt["train_spatial"] = 3  # 16 % 3 != 0
+    with pytest.raises(ValueError, match="does not divide over"):
+        create_model(opt)
