@@ -27,12 +27,24 @@ def main(argv=None) -> None:
     parser.add_argument("--g_input", type=int, default=64, help="G crop size (LR px)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", required=True, help="output .npy kernel path")
+    parser.add_argument(
+        "--watchdog",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="relay-stall watchdog floor (default: on, 900 s; 0 disables) — "
+        "2000 iters on chip is a long multi-dispatch run, the measured "
+        "wedge regime (utils/watchdog.py)",
+    )
     args = parser.parse_args(argv)
 
     import numpy as np
 
     from esr_tpu.cem.kernelgan import KernelGANConf, estimate_kernel
     from esr_tpu.data.util import read_img
+    from esr_tpu.utils.watchdog import arm_from_opt
+
+    wd = arm_from_opt(args.watchdog, label="estimate_kernel")
 
     img = read_img(args.lr)
     conf = KernelGANConf(
@@ -45,8 +57,12 @@ def main(argv=None) -> None:
             f"reg {metrics['reg']:.4f}",
             flush=True,
         )
+        if wd is not None:
+            wd.beat()
 
     kernel, _ = estimate_kernel(img, conf, progress=progress)
+    if wd is not None:
+        wd.stop()
     np.save(args.out, kernel)
     com = np.unravel_index(np.argmax(kernel), kernel.shape)
     print(

@@ -149,24 +149,17 @@ def main(argv=None) -> None:
     tlogger = Logger(opt)
     logger.info(f"training for {niter} iters (~{total_epochs} epochs)")
 
-    # relay-stall watchdog (opt-in, SURVEY.md §5.3): the r3 40k soak wedged
-    # inside an RPC with no exception — `watchdog: true` (or a number =
-    # minimum timeout seconds) arms a no-progress heartbeat that exits 86
-    # so a supervisor restarts with --auto_resume (lossless: deterministic
-    # mid-epoch replay). See esr_tpu/utils/watchdog.py.
-    wd = None
-    wd_opt = opt["train"].get("watchdog")
-    if wd_opt:
-        from esr_tpu.utils.watchdog import Watchdog
+    # relay-stall watchdog (SURVEY.md §5.3), DEFAULT-ON since r5: the r3
+    # 40k soak wedged inside an RPC with no exception and the r4 driver
+    # bench repeated the mode — a no-progress heartbeat exits 86 so a
+    # supervisor restarts with --auto_resume (lossless: deterministic
+    # mid-epoch replay). `watchdog: false` disables; a number sets the
+    # floor seconds. See esr_tpu/utils/watchdog.py.
+    from esr_tpu.utils.watchdog import arm_from_opt
 
-        wd = Watchdog(
-            min_timeout=600.0 if wd_opt is True else float(wd_opt),
-            factor=float(opt["train"].get("watchdog_factor") or 50.0),
-        )
-        logger.info(
-            f"watchdog armed: min {wd.min_timeout:.0f}s / {wd.factor:.0f}x "
-            "EMA step time"
-        )
+    wd = arm_from_opt(
+        opt["train"].get("watchdog"), opt["train"].get("watchdog_factor"), logger
+    )
 
     epoch = start_epoch  # bound even if the loop body never runs (stale
     # resume state past niter) — the preemption save below references it

@@ -30,9 +30,15 @@ import os
 import threading
 import time
 
-__all__ = ["Watchdog", "STALL_EXIT_CODE"]
+__all__ = ["Watchdog", "STALL_EXIT_CODE", "DEFAULT_FLOOR", "arm_from_opt"]
 
 STALL_EXIT_CODE = 86
+
+# Default-on floor (r5, VERDICT r4 weak #5): generous enough that the relay
+# compile lottery (20 s – 10+ min for equal programs, CLAUDE.md) never
+# false-fires — the watchdog exists for the hours-silent wedge, not slow
+# compiles.
+DEFAULT_FLOOR = 900.0
 
 
 def _die(rc: int, msg: str) -> None:
@@ -44,6 +50,31 @@ def _die(rc: int, msg: str) -> None:
         except Exception:  # noqa: BLE001 — flushing is best-effort pre-exit
             pass
     os._exit(rc)
+
+
+def arm_from_opt(value, factor=None, logger=None, label: str = "train"):
+    """Resolve the ``watchdog`` option into an armed :class:`Watchdog`.
+
+    Default-ON (two measured stall events — the r3 40k-soak wedge and the
+    r4 driver-bench outage — argue the protection should not be opt-in):
+
+    - unset/``None``/``true`` -> armed with the :data:`DEFAULT_FLOOR`
+    - a positive number       -> armed with that floor (seconds)
+    - ``false`` or ``<= 0``   -> disarmed (returns ``None``)
+    """
+    if value is False or (
+        isinstance(value, (int, float)) and not isinstance(value, bool) and float(value) <= 0
+    ):
+        return None
+    floor = DEFAULT_FLOOR if value is None or value is True else float(value)
+    wd = Watchdog(min_timeout=floor, factor=float(factor) if factor else 50.0)
+    if logger is not None:
+        logger.info(
+            f"watchdog armed ({label}): min {wd.min_timeout:.0f}s / "
+            f"{wd.factor:.0f}x EMA progress time; on stall exits "
+            f'{STALL_EXIT_CODE} for a supervisor restart (disable: "watchdog": false)'
+        )
+    return wd
 
 
 class Watchdog:
