@@ -62,6 +62,24 @@ def _repo_dir() -> str:
     return os.path.dirname(os.path.abspath(__file__))
 
 
+def _last_full_path() -> str:
+    return os.path.join(_repo_dir(), ".jax_cache", "bench_last_full.json")
+
+
+def _load_last_full() -> dict | None:
+    """Freshest COMPLETE bench from this machine (written by child_main),
+    annotated with its age — stall/partial context only, never `value`."""
+    try:
+        with open(_last_full_path()) as fh:
+            rec = json.load(fh)
+        return {
+            "age_s": round(time.time() - float(rec["unix_time"])),
+            **rec["result"],
+        }
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def load_last_validated() -> dict:
     """Most recent driver-recorded bench with a non-null parsed value.
 
@@ -350,7 +368,16 @@ def child_main() -> None:
         except Exception as e:  # noqa: BLE001
             extra["train_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     extra["status"] = "ok"
-    print(_assemble_line(result["mp_per_s"], extra), flush=True)
+    line = _assemble_line(result["mp_per_s"], extra)
+    try:
+        # persist the full result: a later stalled/partial run cites it as
+        # the freshest on-chip measurement from this machine (relay health
+        # oscillates ~10x within a day — measured r5)
+        with open(_last_full_path(), "w") as fh:
+            json.dump({"unix_time": time.time(), "result": json.loads(line)}, fh)
+    except OSError:
+        pass
+    print(line, flush=True)
 
 
 # -- supervisor: deadline-enforced, jax-free, always emits one line --------
@@ -435,6 +462,9 @@ def supervise() -> None:
             "last_validated_stale": load_last_validated(),
             **read_parity_report(),
         }
+        full = _load_last_full()
+        if full is not None:
+            extra["last_full_run_this_machine"] = full
         print(_assemble_line(None, extra), flush=True)
         return
 
@@ -490,6 +520,9 @@ def supervise() -> None:
             extra.update(done[key])
     if mp is None:
         extra["last_validated_stale"] = load_last_validated()
+    full = _load_last_full()
+    if full is not None:
+        extra["last_full_run_this_machine"] = full
     print(_assemble_line(mp, extra), flush=True)
 
 
