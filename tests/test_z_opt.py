@@ -359,3 +359,132 @@ def test_infer_d_nf_from_checkpoint():
     assert infer_d_nf(params, default=64) == 8
     assert infer_d_nf({}, default=24) == 24  # malformed tree -> config value
     assert infer_d_nf(None, default=64) == 64
+
+
+def test_optimize_z_adaptive_no_escalation_when_moving():
+    """Healthy objective: the first round improves well past plateau_rel, so
+    the LR never escalates and the result matches the appetite of a plain
+    fixed-LR search."""
+    from esr_tpu.explore.z_optimizer import optimize_z_adaptive
+
+    def forward(params, lr_img, z):
+        return jnp.repeat(jnp.repeat(z * 1.0, 4, axis=1), 4, axis=2)
+
+    def objective(sr, mask):  # legacy f(sr, mask) path
+        return jnp.mean((sr - 0.5) ** 2 * mask)
+
+    lr_img = jnp.zeros((1, 8, 8, 3))
+    z0 = jnp.zeros((1, 8, 8, 1))
+    mask = jnp.ones((32, 32))
+    z, losses, rounds = optimize_z_adaptive(
+        forward, None, lr_img, z0, mask, objective, n_steps=32, lr=0.1,
+        max_rounds=4,
+    )
+    assert losses[-1] < 0.01 * losses[0]
+    assert all(r["lr"] == pytest.approx(0.1) for r in rounds[:1])
+    assert rounds[0]["rel_improvement"] > 0.02  # no plateau in round 1
+
+
+def test_optimize_z_adaptive_insensitive_region_stops_early():
+    """Forward ignores Z entirely: every round plateaus, the LR escalates to
+    lr_max, then the search stops early instead of burning max_rounds."""
+    from esr_tpu.explore.z_optimizer import optimize_z_adaptive
+
+    def forward(params, lr_img, z):
+        return jnp.repeat(jnp.repeat(lr_img, 4, axis=1), 4, axis=2)
+
+    def objective(sr, mask):
+        return jnp.mean(sr)
+
+    lr_img = jnp.asarray(np.random.default_rng(0).random((1, 8, 8, 3)), jnp.float32)
+    z0 = jnp.zeros((1, 8, 8, 1))
+    mask = jnp.ones((32, 32))
+    z, losses, rounds = optimize_z_adaptive(
+        forward, None, lr_img, z0, mask, objective, n_steps=8, lr=0.1,
+        max_rounds=8, lr_boost=3.0, lr_max=0.9,
+    )
+    lrs = [r["lr"] for r in rounds]
+    assert lrs == [0.1, pytest.approx(0.3), pytest.approx(0.9)], lrs  # escalate then stop
+    assert len(rounds) < 8
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z0))  # grad is 0
+
+
+def test_optimize_z_adaptive_escalation_beats_fixed_budget():
+    """A far target at a too-small LR: the fixed search crawls; the adaptive
+    search detects the plateau, boosts the LR (runtime hyperparameter — the
+    jitted round program is compiled ONCE across all levels), and lands
+    much closer on the same step budget."""
+    from esr_tpu.explore.z_optimizer import (
+        _optimize_z_round_jit,
+        optimize_z,
+        optimize_z_adaptive,
+    )
+
+    def forward(params, lr_img, z):
+        return jnp.repeat(jnp.repeat(z * 1.0, 4, axis=1), 4, axis=2)
+
+    def objective(sr, mask):
+        return jnp.abs(jnp.mean(sr) - 60.0)  # far outside [-1,1] -> |z| rails
+
+    lr_img = jnp.zeros((1, 8, 8, 3))
+    z0 = jnp.zeros((1, 8, 8, 1))
+    mask = jnp.ones((32, 32))
+    # z_range=100: the range is NOT the binding constraint; LR is
+    kw = dict(n_steps=40, lr=0.01, z_range=100.0)
+    n_compiles_before = _optimize_z_round_jit._cache_size()
+    z_a, losses_a, rounds = optimize_z_adaptive(
+        forward, None, lr_img, z0, mask, objective, max_rounds=5,
+        lr_boost=10.0, lr_max=10.0, **kw,
+    )
+    z_f, losses_f = optimize_z(
+        forward, None, lr_img, z0, mask, objective,
+        n_steps=40 * len(rounds), lr=0.01, z_range=100.0,
+    )
+    # strictly better on the same step budget (escalated LR moves ~10x
+    # faster toward the far target once the plateau is detected)
+    assert float(losses_a[-1]) < float(losses_f[-1]) - 5.0, (
+        float(losses_a[-1]), float(losses_f[-1]), rounds,
+    )
+    assert any(r["lr"] > 0.01 for r in rounds), rounds
+    # one compiled program served every escalation level
+    assert _optimize_z_round_jit._cache_size() - n_compiles_before == 1
+
+
+def test_session_imprint_adaptive_default(setup):
+    """session.imprint runs the adaptive recipe by default and exposes the
+    escalation report; opting out restores the fixed search."""
+    model, params, cem, forward, lr_img, z0 = setup
+
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=8)
+    sess.select_rect(8, 8, 40, 40)
+    target = np.zeros((1, 64, 64, 3), np.float32)
+    losses = sess.imprint(target)
+    assert losses.ndim == 1 and len(losses) >= 8
+    assert sess.last_rounds is not None and len(sess.last_rounds) >= 1
+    sess.undo()
+    losses_f = sess.imprint(target, adaptive=False)
+    assert sess.last_rounds is None
+    assert len(losses_f) == 8
+
+
+def test_optimize_z_adaptive_returns_best_not_last():
+    """An escalated LR can overshoot so the trace ENDS worse than its best
+    point; the returned Z must be the best evaluated one (its objective
+    value == min of the trace, within one re-evaluation)."""
+    from esr_tpu.explore.z_optimizer import optimize_z_adaptive
+
+    def forward(params, lr_img, z):
+        return jnp.repeat(jnp.repeat(z * 1.0, 4, axis=1), 4, axis=2)
+
+    def objective(sr, mask):
+        return jnp.abs(jnp.mean(sr) - 0.35)
+
+    lr_img = jnp.zeros((1, 8, 8, 3))
+    z0 = jnp.zeros((1, 8, 8, 1))
+    mask = jnp.ones((32, 32))
+    z, losses, rounds = optimize_z_adaptive(
+        forward, None, lr_img, z0, mask, objective, n_steps=10, lr=0.5,
+        max_rounds=4, lr_boost=3.0, lr_max=4.5,  # huge steps -> oscillation
+    )
+    returned = float(objective(forward(None, lr_img, z), mask))
+    assert returned <= float(np.min(losses)) + 1e-6, (returned, float(np.min(losses)))
