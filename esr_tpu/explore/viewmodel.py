@@ -273,12 +273,20 @@ class EditorViewModel:
             return ""
         lrs = "->".join(f"{r['lr']:g}" for r in rounds)
         tail = rounds[-1]
+        widened = ""
+        if tail.get("z_range", 0) > rounds[0].get("z_range", 0):
+            # the measured converged-region lever: say loudly that the edit
+            # left the trained latent box (still exactly CEM-consistent)
+            widened = (
+                f", z-range widened to {tail['z_range']:g} "
+                "(outside the trained latent box; output stays CEM-consistent)"
+            )
         stopped = (
-            " (insensitive at max LR)"
+            " (insensitive at max escalation)"
             if tail["rel_improvement"] < 0.02 and len(rounds) > 1
             else ""
         )
-        return f" [adaptive: {len(rounds)} rounds, lr {lrs}{stopped}]"
+        return f" [adaptive: {len(rounds)} rounds, lr {lrs}{widened}{stopped}]"
 
     def _final_loss(self, losses) -> float:
         """Adaptive searches return the BEST evaluated Z (z_optimizer

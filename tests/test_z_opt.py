@@ -488,3 +488,34 @@ def test_optimize_z_adaptive_returns_best_not_last():
     )
     returned = float(objective(forward(None, lr_img, z), mask))
     assert returned <= float(np.min(losses)) + 1e-6, (returned, float(np.min(losses)))
+
+
+def test_optimize_z_adaptive_widens_z_range_after_lr_ladder():
+    """The z-range escalation phase (r5 flagship diagnostic): an objective
+    reachable ONLY outside the starting clip box plateaus through the whole
+    LR ladder, then widens the box to z_range_max and reaches the target.
+    The bound is a traced scalar — still exactly one compile."""
+    from esr_tpu.explore.z_optimizer import (
+        _optimize_z_round_jit,
+        optimize_z_adaptive,
+    )
+
+    def forward(params, lr_img, z):
+        return jnp.repeat(jnp.repeat(z * 1.0, 4, axis=1), 4, axis=2)
+
+    def objective(sr, mask):
+        return jnp.abs(jnp.mean(sr) - 2.5)  # outside [-1, 1]
+
+    lr_img = jnp.zeros((1, 8, 8, 3))
+    z0 = jnp.zeros((1, 8, 8, 1))
+    mask = jnp.ones((32, 32))
+    n_before = _optimize_z_round_jit._cache_size()
+    z, losses, rounds = optimize_z_adaptive(
+        forward, None, lr_img, z0, mask, objective, n_steps=25, lr=0.3,
+        max_rounds=10, lr_boost=3.0, lr_max=0.9,
+        z_range=1.0, z_range_boost=2.0, z_range_max=4.0,
+    )
+    assert any(r["z_range"] > 1.0 for r in rounds), rounds
+    assert float(np.abs(np.asarray(z)).max()) > 1.0  # left the trained box
+    assert float(losses[-1]) < 0.6, (float(losses[-1]), rounds)
+    assert _optimize_z_round_jit._cache_size() - n_before == 1
