@@ -97,6 +97,11 @@ def export_servable(
         "in_nc": in_nc,
         "platforms": list(platforms),
         "cem": getattr(model, "cem", None) is not None,
+        # the exported program IS whatever _make_forward builds — a
+        # "self_ensemble": true opt exports the x8 dihedral mean (+1.04 dB
+        # at 3.16x on the 12k ckpt, PROGRESS_NOTES r5); recorded here so
+        # servers know what they are running
+        "self_ensemble": bool(getattr(model, "opt", {}).get("self_ensemble")),
         "buckets": entries,
         "input": "NHWC RGB float32 in [0,1] (LR domain)",
         "output": "NHWC RGB float32 (CEM output is unbounded; clip for PNG)",

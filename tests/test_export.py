@@ -187,3 +187,40 @@ def test_export_cli(tmp_path, artifact):
     assert [tuple(e[k] for k in ("batch", "h", "w")) for e in manifest["buckets"]] == [
         (1, 16, 16)
     ]
+
+
+def test_export_self_ensemble_forward(tmp_path):
+    """`"self_ensemble": true` in the export opt ships the x8 dihedral-mean
+    forward (export wraps whatever _make_forward builds): the loaded
+    servable equals the live ensembled forward exactly and the manifest
+    records the flag for servers."""
+    import jax
+    import jax.numpy as jnp
+
+    from esr_tpu.export import export_servable, load_servable
+    from esr_tpu.models import create_model
+    from esr_tpu.options import parse
+
+    opt_d = _tiny_opt(tmp_path)
+    opt_d["self_ensemble"] = True
+    opt = parse(opt_d, is_train=False)
+    model = create_model(opt)
+    out = os.path.join(str(tmp_path), "artifact_ens")
+    manifest = export_servable(model, [(1, 16, 16)], out, platforms=("cpu",))
+    assert manifest["self_ensemble"] is True
+
+    servable = load_servable(out)
+    rng = np.random.default_rng(3)
+    lr = rng.random((1, 16, 16, 3)).astype(np.float32)
+    z = rng.uniform(-1, 1, (1, 16, 16, 1)).astype(np.float32)
+    got = np.asarray(servable.sr(lr, z))
+    live = np.asarray(jax.jit(model._make_forward())(model.state.params, jnp.asarray(lr), jnp.asarray(z)))
+    np.testing.assert_allclose(got, live, atol=1e-6)
+
+    # and it differs from the plain (non-ensembled) forward
+    opt_d2 = _tiny_opt(tmp_path)
+    plain_model = create_model(parse(opt_d2, is_train=False))
+    plain = np.asarray(
+        jax.jit(plain_model._make_forward())(model.state.params, jnp.asarray(lr), jnp.asarray(z))
+    )
+    assert np.abs(got - plain).max() > 1e-5
