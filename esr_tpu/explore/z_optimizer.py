@@ -330,8 +330,11 @@ def optimize_z_adaptive(
     z = jnp.asarray(z0)
     tx = _adaptive_tx()
     opt_state = tx.init(z)
-    cur_lr, cur_zr = float(lr), float(z_range)
-    zr_max = float(z_range_max) if z_range_max is not None else cur_zr
+    # z_range=0/None means UNBOUNDED in optimize_z (falsy skips the clip);
+    # the round program always clips against a traced bound, so map it to inf
+    cur_lr = float(lr)
+    cur_zr = float(z_range) if z_range else float("inf")
+    zr_max = float(z_range_max) if z_range_max else cur_zr
     best_z, best_loss = z, float("inf")
     all_losses, rounds = [], []
     total = max_rounds * n_steps
