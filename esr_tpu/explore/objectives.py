@@ -208,21 +208,40 @@ def periodicity_objective(period_y: float = 0.0, period_x: float = 0.0) -> Objec
 
 
 def _diverse_fn(sr, mask, aux):
-    anchors = aux["anchors"]
+    anchors = aux["anchors"]  # (K,H,W,C); K may include zero-weight padding
+    w = aux["anchor_w"]  # (K,) 1=live anchor, 0=padding
     d = jnp.abs(sr[None] - anchors[:, None])  # (K,N,H,W,C)
     m = mask[None, None, :, :, None]
-    repel = jnp.sum(d * m) / (
-        jnp.sum(m) * d.shape[0] * d.shape[1] * d.shape[-1] + 1e-12
-    )
+    per = jnp.sum(d * m, axis=(1, 2, 3, 4)) / (
+        jnp.sum(m) * d.shape[1] * d.shape[-1] + 1e-12
+    )  # (K,) masked mean |sr - anchor_k|
+    repel = jnp.sum(per * w) / (jnp.sum(w) + 1e-12)
     return -aux["weight_repel"] * repel
 
 
-def random_diverse_objective(anchors: jax.Array, weight_repel: float = 1.0) -> Objective:
+def random_diverse_objective(
+    anchors: jax.Array,
+    weight_repel: float = 1.0,
+    anchor_weights: jax.Array | None = None,
+) -> Objective:
     """Produce an alternative that moves away from previous outputs
-    (``anchors``: (K,H,W,C)) — the 'random diverse alternatives' tool."""
+    (``anchors``: (K,H,W,C)) — the 'random diverse alternatives' tool.
+
+    ``anchor_weights`` (K,) lets callers pad ``anchors`` to a FIXED capacity
+    with zero-weight rows so the jitted search program's shapes don't change
+    as the anchor set grows: without it, candidate i of a pick-one-of-k run
+    carries i anchors and each candidate is a fresh compile of the full
+    search program (r5 interactivity fix — relay compiles cost 20 s+)."""
+    anchors = jnp.asarray(anchors)
+    if anchor_weights is None:
+        anchor_weights = jnp.ones((anchors.shape[0],), jnp.float32)
     return Objective(
         _diverse_fn,
-        {"anchors": jnp.asarray(anchors), "weight_repel": jnp.float32(weight_repel)},
+        {
+            "anchors": anchors,
+            "anchor_w": jnp.asarray(anchor_weights, jnp.float32),
+            "weight_repel": jnp.float32(weight_repel),
+        },
         ("anchors",),
     )
 

@@ -35,6 +35,7 @@ class ExplorationSession:
         history_limit: int = 32,
         progress_cb=None,
         progress_chunks: int = 8,
+        anchor_cap: int = 8,
     ):
         """forward(params, lr, z) -> sr (CEM-wrapped for guaranteed
         consistency of every edit)."""
@@ -58,6 +59,7 @@ class ExplorationSession:
         # show per-tool progress (SURVEY §2.16).
         self.progress_cb = progress_cb
         self.progress_chunks = progress_chunks
+        self.anchor_cap = anchor_cap  # padded-anchor capacity (propose_alternatives)
         self._mask: np.ndarray | None = None  # HR-space float mask
         self._box_lr: tuple | None = None
         self._sr_cache: np.ndarray | None = None
@@ -302,14 +304,26 @@ class ExplorationSession:
         mask_lr = self._mask_lr()[None, :, :, None]
         base_z = self.z.copy()
         anchors = [self.current_sr()]  # z unchanged -> rides the SR cache
+        # pad the anchor stack to a FIXED capacity (zero-weight rows) so all
+        # k candidates — and every later alternatives click — share ONE
+        # compiled search program; a growing (i+1,H,W,C) stack would compile
+        # k distinct programs (r5 interactivity fix, 20 s+ per relay compile)
+        cap = max(self.anchor_cap, k)
+        hh, ww, cc = anchors[0].shape[1:]
         for i in range(k):
             z_init = base_z * (1 - mask_lr) + mask_lr * rng.uniform(
                 -1, 1, self.z.shape
             ).astype(np.float32)
+            padded = np.zeros((cap, hh, ww, cc), np.float32)
+            padded[: len(anchors)] = np.stack(anchors)[:, 0]
+            weights = np.zeros((cap,), np.float32)
+            weights[: len(anchors)] = 1.0
             z_opt, _ = self._optimizer(
                 self.lr_img,
                 z_init,
-                obj.random_diverse_objective(jnp.asarray(np.stack(anchors)[:, 0])),
+                obj.random_diverse_objective(
+                    jnp.asarray(padded), anchor_weights=jnp.asarray(weights)
+                ),
                 mask_hr=self._mask,
                 box_lr=self._box_lr,
             )

@@ -519,3 +519,37 @@ def test_optimize_z_adaptive_widens_z_range_after_lr_ladder():
     assert float(np.abs(np.asarray(z)).max()) > 1.0  # left the trained box
     assert float(losses[-1]) < 0.6, (float(losses[-1]), rounds)
     assert _optimize_z_round_jit._cache_size() - n_before == 1
+
+
+def test_diverse_padded_anchors_match_unpadded(setup):
+    """Zero-weight padded anchor rows change nothing (the padded-anchor
+    single-compile design of propose_alternatives, r5)."""
+    from esr_tpu.explore.objectives import random_diverse_objective
+
+    rng = np.random.default_rng(3)
+    sr = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    anchors = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    mask = jnp.ones((16, 16), jnp.float32)
+    plain = random_diverse_objective(anchors)
+    padded = jnp.concatenate([anchors, jnp.zeros((3, 16, 16, 3))], axis=0)
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32)
+    pad = random_diverse_objective(padded, anchor_weights=w)
+    np.testing.assert_allclose(
+        float(plain(sr, mask)), float(pad(sr, mask)), rtol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_propose_alternatives_single_compile(setup):
+    """All k candidates (growing live-anchor count) share ONE compiled search
+    program: the anchors aux is padded to a fixed capacity, so the jit cache
+    gains exactly one entry for the whole pick-one-of-k run."""
+    from esr_tpu.explore.z_optimizer import _optimize_z_jit
+
+    _, params, _, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=2)
+    sess.select_rect(0, 0, 32, 32)
+    n_before = _optimize_z_jit._cache_size()
+    cands = sess.propose_alternatives(k=3, seed=0)
+    assert len(cands) == 3
+    assert _optimize_z_jit._cache_size() - n_before == 1
