@@ -347,15 +347,11 @@ def child_main() -> None:
         "cem_consistency_max_err": result["cem_residual"],
         **read_parity_report(),
     }
-    if os.environ.get("BENCH_SINGLE", "1") != "0":
-        # batch-1 DIV2K-scale eval via the spatial-fold path; never let a
-        # secondary bench failure swallow the primary metric line
-        try:
-            stage("single_image")
-            extra.update(single := bench_single_image())
-            note("done", "single_image", single)
-        except Exception as e:  # noqa: BLE001
-            extra["single_image_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    # DRIVER METRIC #2 (GAN train steps/s) runs BEFORE the single-image
+    # extra: in a degraded relay window the child deadline cuts off the TAIL
+    # stages, and losing an extra beats losing a driver metric (r5: a warm
+    # supervised run lost train_steps_per_s to the 383 s child budget while
+    # keeping single_image).
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         # full ESRGAN/explorable GAN step (DIV2K regime: batch 16, 128px
         # crops, pixel+VGG+RaGAN+range+map losses, CEM, D BN updates);
@@ -367,16 +363,34 @@ def child_main() -> None:
             note("done", "gan_train", train)
         except Exception as e:  # noqa: BLE001
             extra["train_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    if os.environ.get("BENCH_SINGLE", "1") != "0":
+        # batch-1 DIV2K-scale eval via the spatial-fold path; never let a
+        # secondary bench failure swallow the primary metric line
+        try:
+            stage("single_image")
+            extra.update(single := bench_single_image())
+            note("done", "single_image", single)
+        except Exception as e:  # noqa: BLE001
+            extra["single_image_bench_error"] = f"{type(e).__name__}: {str(e)[:120]}"
     extra["status"] = "ok"
     line = _assemble_line(result["mp_per_s"], extra)
-    try:
-        # persist the full result: a later stalled/partial run cites it as
-        # the freshest on-chip measurement from this machine (relay health
-        # oscillates ~10x within a day — measured r5)
-        with open(_last_full_path(), "w") as fh:
-            json.dump({"unix_time": time.time(), "result": json.loads(line)}, fh)
-    except OSError:
-        pass
+    # persist the full result: a later stalled/partial run cites it as the
+    # freshest on-chip measurement from this machine (relay health
+    # oscillates ~10x within a day — measured r5). ONLY production-shaped
+    # runs on real hardware qualify: the supervisor's own CPU test suite
+    # runs child_main at toy shapes and must not poison the record (r5 bug:
+    # a stalled driver line cited a 0.147 MP/s CPU toy run as last-full).
+    production_shape = (
+        extra["config"] == {"batch": 16, "lr_size": 128, "fold": 2}
+        and int(os.environ.get("BENCH_NB", 23)) == 23
+        and jax.devices()[0].platform != "cpu"
+    )
+    if production_shape:
+        try:
+            with open(_last_full_path(), "w") as fh:
+                json.dump({"unix_time": time.time(), "result": json.loads(line)}, fh)
+        except OSError:
+            pass
     print(line, flush=True)
 
 

@@ -131,3 +131,22 @@ def test_load_last_validated_reads_driver_artifacts():
     assert rec["value"] is not None and rec["value"] > 0
     assert rec["source"].startswith("BENCH_r") or rec["source"].startswith("hardcoded")
     assert rec["source"] != "BENCH_r04.json"
+
+
+@pytest.mark.slow
+def test_toy_cpu_run_does_not_poison_last_full_record():
+    """bench_last_full.json is the 'freshest full on-chip run' citation for
+    stalled/partial lines; a toy-shape CPU run (this very test suite) must
+    never overwrite it (r5 bug: a stalled driver line cited a 0.147 MP/s
+    CPU run as last_full_run_this_machine)."""
+    path = os.path.join(REPO, ".jax_cache", "bench_last_full.json")
+    before = (os.path.getmtime(path), open(path).read()) if os.path.exists(path) else None
+    obj, _, _ = _run(
+        {"BENCH_NB": "1", "BENCH_BATCH": "1", "BENCH_LR_SIZE": "16",
+         "BENCH_ITERS": "2", "BENCH_SINGLE": "0", "BENCH_TRAIN": "0",
+         "BENCH_DEADLINE": "480", "BENCH_PREFLIGHT_DEADLINE": "120"},
+        timeout=500,
+    )
+    assert obj["extra"]["status"] == "ok"
+    after = (os.path.getmtime(path), open(path).read()) if os.path.exists(path) else None
+    assert after == before, "toy CPU child persisted bench_last_full.json"
