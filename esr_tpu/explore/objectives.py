@@ -261,13 +261,12 @@ def _histogram_fn(n_bins: int):
         return h / (jnp.sum(h, axis=0, keepdims=True) + 1e-12)
 
     def fn(sr, mask, aux):
-        tgt, sigma = aux["tgt"], aux["sigma"]
         vals = sr.reshape(-1, sr.shape[-1])
         w = jnp.broadcast_to(mask[None, :, :], sr.shape[:3]).reshape(-1, 1)
-        h_sr = soft_hist(vals, w, sigma)
-        h_tgt = soft_hist(tgt, jnp.ones((tgt.shape[0], 1), tgt.dtype), sigma)
-        return jnp.mean(jnp.abs(h_sr - h_tgt))
+        h_sr = soft_hist(vals, w, aux["sigma"])
+        return jnp.mean(jnp.abs(h_sr - aux["tgt_hist"]))
 
+    fn.soft_hist = soft_hist  # reused by the builder for the target side
     return fn
 
 
@@ -280,13 +279,19 @@ def histogram_objective(
     shape-static.
 
     ``target_patch``: (h, w, C) or (K, C) sample of desired intensities —
-    NOT an aligned HR image, so it is deliberately not region-cropped.
+    NOT an aligned HR image, so it is deliberately not region-cropped. Its
+    soft histogram is precomputed HERE to a fixed ``(n_bins, C)`` aux (the
+    target is a constant — same math, done once): carrying the raw samples
+    would give every differently-sized target patch its own compiled search
+    program (r5; same class as the alternatives anchor-stack fix).
     """
     target_patch = jnp.asarray(target_patch, jnp.float32)
     tgt = target_patch.reshape(-1, target_patch.shape[-1])
-    return Objective(
-        _histogram_fn(int(n_bins)), {"tgt": tgt, "sigma": jnp.float32(sigma)}
+    fn = _histogram_fn(int(n_bins))
+    h_tgt = fn.soft_hist(
+        tgt, jnp.ones((tgt.shape[0], 1), tgt.dtype), jnp.float32(sigma)
     )
+    return Objective(fn, {"tgt_hist": h_tgt, "sigma": jnp.float32(sigma)})
 
 
 # -- adversarial -----------------------------------------------------------------

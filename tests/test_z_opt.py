@@ -553,3 +553,30 @@ def test_propose_alternatives_single_compile(setup):
     cands = sess.propose_alternatives(k=3, seed=0)
     assert len(cands) == 3
     assert _optimize_z_jit._cache_size() - n_before == 1
+
+
+def test_histogram_target_sizes_share_one_program(setup):
+    """Differently-sized histogram target patches must NOT retrace the
+    search: the target's soft histogram is precomputed to a fixed
+    (n_bins, C) aux at build time (r5)."""
+    from esr_tpu.explore import histogram_objective
+    from esr_tpu.explore.z_optimizer import _optimize_z_jit
+
+    _, params, _, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=2)
+    sess.select_rect(0, 0, 32, 32)
+    rng = np.random.default_rng(0)
+    sess.match_histogram(rng.random((8, 8, 3)).astype(np.float32), adaptive=False)
+    n_before = _optimize_z_jit._cache_size()
+    sess.match_histogram(rng.random((13, 7, 3)).astype(np.float32), adaptive=False)
+    sess.match_histogram(rng.random((64, 3)).astype(np.float32), adaptive=False)
+    assert _optimize_z_jit._cache_size() == n_before
+
+    # and the precomputed-histogram objective equals the direct formulation
+    obj = histogram_objective(np.full((4, 4, 3), 0.5, np.float32))
+    sr = jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)
+    mask = jnp.ones((8, 8), jnp.float32)
+    dark = histogram_objective(np.zeros((4, 4, 3), np.float32))
+    # an SR near 0.5 matches the 0.5-target better than the 0-target
+    sr_mid = jnp.full((1, 8, 8, 3), 0.5)
+    assert float(obj(sr_mid, mask)) < float(dark(sr_mid, mask))
