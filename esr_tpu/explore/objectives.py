@@ -190,18 +190,62 @@ def _periodicity_fn(shifts: tuple[tuple[float, float], ...]):
     return fn
 
 
+def _dyn_shift_axis(x, d, axis):
+    """Shift by a TRACED (possibly fractional) amount via two dynamic rolls
+    + blend; reduces to one roll for integral d (frac==0 blends hi out)."""
+    fl = jnp.floor(d)
+    frac = d - fl
+    fl_i = fl.astype(jnp.int32)
+    ce_i = fl_i + (frac > 0).astype(jnp.int32)
+    lo = jnp.roll(x, -fl_i, axis=axis)
+    hi = jnp.roll(x, -ce_i, axis=axis)
+    return lo * (1 - frac) + hi * frac
+
+
+def _dyn_valid_band(n, d, dtype):
+    """Positions whose shifted source stays in-image (jnp.roll wraps);
+    traced twin of _periodicity_fn's valid_band."""
+    fl = jnp.floor(d)
+    ce = fl + (d - fl > 0)
+    idx = jnp.arange(n)
+    ok = (idx + fl >= 0) & (idx + ce <= n - 1)
+    return ok.astype(dtype)
+
+
+def _periodicity_dyn_fn(sr, mask, aux):
+    """Periodicity loss with the periods as TRACED aux scalars: every period
+    value a user tries shares ONE compiled search program (r5 — the static
+    variant bakes shifts into the trace, so an interactive period sweep was
+    a recompile per value at relay compile latency). Math is the exact twin
+    of _periodicity_fn (parity-tested); a zero period contributes nothing
+    (live-weight 0), matching the static builder's shift filtering."""
+    h, w = mask.shape
+    total = jnp.float32(0.0)
+    wsum = jnp.float32(0.0)
+    for key, axis, n in (("py", 1, h), ("px", 2, w)):
+        d = aux[key]
+        shifted = _dyn_shift_axis(sr, d, axis)
+        sm = _dyn_shift_axis(mask[None, :, :, None], d, axis)[0, :, :, 0]
+        band = _dyn_valid_band(n, d, mask.dtype)
+        sm = sm * (band[:, None] if axis == 1 else band[None, :])
+        joint = mask * sm  # only compare where both in-region
+        live = (d != 0).astype(jnp.float32)
+        total += live * _masked_mean(jnp.abs(sr - shifted), joint)
+        wsum += live
+    return total / (wsum + 1e-12)
+
+
 def periodicity_objective(period_y: float = 0.0, period_x: float = 0.0) -> Objective:
     """Encourage the region to be self-similar under a shift of
     (period_y, period_x) pixels (1D or 2D periodicity tool). Fractional
-    periods use bilinear resampling of the shifted image."""
-    shifts = []
-    if period_y:
-        shifts.append((float(period_y), 0.0))
-    if period_x:
-        shifts.append((0.0, float(period_x)))
-    if not shifts:
+    periods use bilinear resampling of the shifted image. Periods travel as
+    traced aux, so changing them never recompiles the search."""
+    if not (period_y or period_x):
         raise ValueError("need a nonzero period")
-    return Objective(_periodicity_fn(tuple(shifts)))
+    return Objective(
+        _periodicity_dyn_fn,
+        {"py": jnp.float32(period_y), "px": jnp.float32(period_x)},
+    )
 
 
 # -- random diverse alternatives ------------------------------------------------

@@ -580,3 +580,38 @@ def test_histogram_target_sizes_share_one_program(setup):
     # an SR near 0.5 matches the 0.5-target better than the 0-target
     sr_mid = jnp.full((1, 8, 8, 3), 0.5)
     assert float(obj(sr_mid, mask)) < float(dark(sr_mid, mask))
+
+
+def test_periodicity_dynamic_matches_static():
+    """The traced-period objective is the exact twin of the static-shift
+    formulation, for integral and fractional 1D/2D periods."""
+    from esr_tpu.explore.objectives import _periodicity_fn, periodicity_objective
+
+    rng = np.random.default_rng(5)
+    sr = jnp.asarray(rng.random((1, 24, 20, 3)), jnp.float32)
+    mask = np.zeros((24, 20), np.float32)
+    mask[2:22, 1:19] = 1.0
+    mask = jnp.asarray(mask)
+    for py, px in [(8.0, 0.0), (0.0, 6.0), (8.0, 6.0), (5.5, 0.0), (3.25, 7.5)]:
+        shifts = tuple(
+            s for s in [(py, 0.0) if py else None, (0.0, px) if px else None] if s
+        )
+        static = _periodicity_fn(shifts)(sr, mask, {})
+        dyn = periodicity_objective(py, px)(sr, mask)
+        np.testing.assert_allclose(
+            float(static), float(dyn), rtol=2e-5, err_msg=f"py={py} px={px}"
+        )
+
+
+def test_periodicity_period_sweep_single_compile(setup):
+    """Changing the period must not recompile the jitted search."""
+    from esr_tpu.explore.z_optimizer import _optimize_z_jit
+
+    _, params, _, forward, lr_img, _ = setup
+    sess = ExplorationSession(forward, params, np.asarray(lr_img), n_steps=2)
+    sess.select_rect(0, 0, 32, 32)
+    sess.periodicity(period_x=8)
+    n_before = _optimize_z_jit._cache_size()
+    sess.periodicity(period_x=5)
+    sess.periodicity(period_y=3.5, period_x=7.25)
+    assert _optimize_z_jit._cache_size() == n_before
