@@ -172,6 +172,10 @@ def bench_single_image(h: int = 336, w: int = 504, iters: int = 6) -> dict:
     from esr_tpu.parallel import spatial_fold_apply
 
     fold = int(os.environ.get("BENCH_FOLD", 2))
+    # spatial strip count is independent of the model's channel-fold: more
+    # strips = more batch elements for the channel-fold/MXU to chew at
+    # batch-1, at the price of halo recompute (A/B knob; default == fold)
+    sfold = int(os.environ.get("BENCH_SPATIAL_FOLD", fold))
     nb = int(os.environ.get("BENCH_NB", 23))
     model = RRDBNet(nf=64, nb=nb, gc=32, scale=4, num_latent_channels=1,
                     fold=fold, dtype=jnp.bfloat16)
@@ -183,7 +187,7 @@ def bench_single_image(h: int = 336, w: int = 504, iters: int = 6) -> dict:
     z = jnp.zeros((1, h, w, 1), jnp.float32)
     apply_raw = lambda p, x, zz: model.apply({"params": p}, x, zz)  # noqa: E731
     wrapped = (
-        spatial_fold_apply(apply_raw, fold, halo=32, scale=4) if fold > 1 else apply_raw
+        spatial_fold_apply(apply_raw, sfold, halo=32, scale=4) if sfold > 1 else apply_raw
     )
 
     @jax.jit
