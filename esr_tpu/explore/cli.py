@@ -25,6 +25,9 @@ Commands (one per line)::
     histogram PATH            # transfer an image's intensity distribution
     alternatives K            # propose K diverse candidates (none applied)
     pick I                    # apply proposed candidate I
+    steps N                   # Z-search steps per tool run (search strength)
+    zmax R                    # adaptive tools' z-range escalation ceiling
+                              # (0 = stay inside the trained latent box)
     undo / redo / reset       # Z history ops
     zmap PATH                 # save a Z-map visualization png
     save PATH                 # write current SR png
@@ -170,6 +173,10 @@ def _dispatch(vm, cmd: str, args: list[str]) -> str:
         return vm.finish_polygon()
     if cmd == "clear":
         return vm.clear_selection()
+    if cmd == "steps":
+        return vm.set_search_steps(int(args[0]))
+    if cmd == "zmax":
+        return vm.set_z_range_max(float(args[0]))
     if cmd == "variance":
         if not args or args[0] not in ("+", "-"):
             raise ValueError("usage: variance +|-")

@@ -133,6 +133,27 @@ def launch(vm) -> None:
             vm.periodicity(py, px)
             refresh()
 
+    def do_search_strength():
+        # editor-level Z-search controls (r5): steps budget + adaptive
+        # z-range ceiling, same knobs as the CLI's `steps`/`zmax`
+        try:  # current values for dialog defaults (vm may be a test double)
+            cur_steps = int(vm.session._optimizer.n_steps)
+            cur_zmax = float(vm.session.z_range_max or 0.0)
+        except (AttributeError, TypeError):
+            cur_steps, cur_zmax = 64, 3.0
+        n, ok = QtWidgets.QInputDialog.getInt(
+            win, "Search steps", "Z-search steps per tool run:",
+            cur_steps, 1, 4096,
+        )
+        if ok:
+            vm.set_search_steps(n)
+        zr = ask_float(
+            "Adaptive z-range ceiling (0 = stay in trained box)", 0.0, 16.0,
+            cur_zmax,
+        )
+        if zr is not None:
+            vm.set_z_range_max(zr)
+
     def do_alternatives():
         vm.generate_alternatives(k=3)
         dlg = QtWidgets.QDialog(win)
@@ -162,6 +183,7 @@ def launch(vm) -> None:
         ("Imprint image", do_imprint_image),
         ("Histogram", do_histogram),
         ("Alternatives", do_alternatives),
+        ("Search strength", do_search_strength),
         ("Undo", lambda: (vm.undo(), refresh())),
         ("Redo", lambda: (vm.redo(), refresh())),
         ("Reset Z", lambda: (vm.reset_region(), refresh())),

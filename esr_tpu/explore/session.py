@@ -60,6 +60,7 @@ class ExplorationSession:
         self.progress_cb = progress_cb
         self.progress_chunks = progress_chunks
         self.anchor_cap = anchor_cap  # padded-anchor capacity (propose_alternatives)
+        self.z_range_max = 3.0  # adaptive tools' escalation ceiling (r5 recipe)
         self._mask: np.ndarray | None = None  # HR-space float mask
         self._box_lr: tuple | None = None
         self._sr_cache: np.ndarray | None = None
@@ -192,11 +193,25 @@ class ExplorationSession:
 
     # -- tools (the GUI button set) ---------------------------------------
 
+    def set_search_strength(
+        self, n_steps: int | None = None, z_range_max: float | None = None
+    ) -> None:
+        """Editor-level search controls (the reference exposes its
+        Z-optimizer iteration budget as GUI config): ``n_steps`` per search
+        round (NOTE: a new value compiles a new scan program per crop
+        bucket — the step count is the scan length); ``z_range_max`` caps
+        the adaptive tools' Z-box escalation (0 disables widening — edits
+        stay inside the trained latent box)."""
+        if n_steps is not None:
+            self._optimizer.n_steps = int(n_steps)
+        if z_range_max is not None:
+            self.z_range_max = float(z_range_max) or None
+
     def imprint(
         self,
         target_hr: np.ndarray,
         adaptive: bool = True,
-        z_range_max: float | None = 3.0,
+        z_range_max: float | None | str = "session",
     ) -> np.ndarray:
         """Imprint desired content (e.g. rendered text/graffiti) in-region.
 
@@ -209,7 +224,11 @@ class ExplorationSession:
         PROGRESS_NOTES r5). A widened box leaves the trained Z
         distribution; outputs remain exactly CEM-consistent. The escalation
         trace is exposed via ``last_rounds``; pass ``z_range_max=None`` to
-        stay inside the trained box."""
+        stay inside the trained box. The default ``"session"`` resolves to
+        ``self.z_range_max`` (3.0; adjustable via
+        :meth:`set_search_strength` / the CLI's ``zmax``)."""
+        if z_range_max == "session":
+            z_range_max = self.z_range_max
         return self._run_tool(
             obj.imprint_objective(jnp.asarray(target_hr, jnp.float32)),
             adaptive=adaptive,

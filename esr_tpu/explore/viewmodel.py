@@ -236,6 +236,22 @@ class EditorViewModel:
 
     # -- tools ---------------------------------------------------------------
 
+    def set_search_steps(self, n_steps: int) -> str:
+        if n_steps < 1:
+            raise ValueError("steps must be >= 1")
+        self.session.set_search_strength(n_steps=n_steps)
+        return self._set_status(
+            f"search steps set to {n_steps} (first use per region size compiles)"
+        )
+
+    def set_z_range_max(self, z_range_max: float) -> str:
+        self.session.set_search_strength(z_range_max=z_range_max)
+        cur = self.session.z_range_max
+        return self._set_status(
+            f"adaptive z-range ceiling set to {cur:g}" if cur
+            else "adaptive z-range widening disabled (edits stay in the trained box)"
+        )
+
     def variance(self, direction: int) -> str:
         losses = (
             self.session.increase_variance()

@@ -50,6 +50,10 @@ def main(argv=None) -> None:
     parser.add_argument("--nb", type=int, default=int(os.environ.get("BENCH_NB", 23)))
     parser.add_argument("--opt", default=None, help="optional experiment options.json")
     parser.add_argument("--ckpt", default=None, help="optional generator checkpoint dir")
+    parser.add_argument(
+        "--alternatives", type=int, default=0,
+        help="also time a k-candidate alternatives run (0 = skip)",
+    )
     parser.add_argument("--adaptive", action="store_true", default=True)
     parser.add_argument("--no-adaptive", dest="adaptive", action="store_false")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -175,6 +179,24 @@ def main(argv=None) -> None:
         }
         print(f"[adaptive imprint] {adaptive}", flush=True)
 
+    alternatives = None
+    if args.alternatives:
+        r = args.regions[0]
+        y1 = min(r * scale, args.lr_size * scale)
+        sess.select_rect(0, 0, y1, y1)
+        t0 = time.perf_counter()
+        sess.propose_alternatives(k=args.alternatives, seed=0)
+        alt_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sess.propose_alternatives(k=args.alternatives, seed=1)
+        alt_repeat = time.perf_counter() - t0
+        alternatives = {
+            "k": args.alternatives,
+            "first_s": round(alt_first, 3),
+            "repeat_s": round(alt_repeat, 3),
+        }
+        print(f"[alternatives k={args.alternatives}] {alternatives}", flush=True)
+
     line = {
         "metric": "explore_click_latency",
         "unit": "s/tool-click",
@@ -185,6 +207,7 @@ def main(argv=None) -> None:
         "clicks": clicks,
         "render_s": {"first": round(render_first, 3), "repeat": round(render_s, 4)},
         "adaptive_imprint": adaptive,
+        "alternatives": alternatives,
         "platform": jax.devices()[0].platform,
         "checkpoint": bool(args.ckpt),
     }

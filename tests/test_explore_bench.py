@@ -15,6 +15,7 @@ def test_explore_bench_emits_json(capsys):
         [
             "--cpu", "--nb", "1", "--lr_size", "16",
             "--regions", "4", "--n_steps", "4", "--iters", "2",
+            "--alternatives", "2",
         ]
     )
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
@@ -26,4 +27,6 @@ def test_explore_bench_emits_json(capsys):
     assert click["steps_per_s"] > 0 and click["first_s"] >= click["click_s"]
     assert rec["render_s"]["repeat"] > 0
     assert rec["adaptive_imprint"]["rounds"] >= 1
+    alt = rec["alternatives"]
+    assert alt["k"] == 2 and alt["first_s"] >= alt["repeat_s"] > 0
     assert rec["platform"] == "cpu"

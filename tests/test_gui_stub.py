@@ -214,6 +214,7 @@ class _HBoxLayout:
 class _InputDialog:
     next_text = ("graffiti", True)
     next_double: list[tuple[float, bool]] = []
+    next_int: list[tuple[int, bool]] = []
 
     @staticmethod
     def getText(parent, title, label):
@@ -223,6 +224,12 @@ class _InputDialog:
     def getDouble(parent, title, label, default, lo, hi, decimals):
         if _InputDialog.next_double:
             return _InputDialog.next_double.pop(0)
+        return (default, True)
+
+    @staticmethod
+    def getInt(parent, title, label, default, lo, hi):
+        if _InputDialog.next_int:
+            return _InputDialog.next_int.pop(0)
         return (default, True)
 
 
@@ -369,6 +376,15 @@ def test_periodicity_dialog_flow(gui_env):
     _InputDialog.next_double = [(3.0, True), (5.0, True)]
     win.toolbars["tools"].actions["Periodicity"].trigger()
     assert ("periodicity", 3.0, 5.0) in vm.calls
+
+
+def test_search_strength_dialog_flow(gui_env):
+    vm, win = gui_env
+    _InputDialog.next_int = [(48, True)]
+    _InputDialog.next_double = [(2.5, True)]
+    win.toolbars["tools"].actions["Search strength"].trigger()
+    assert ("set_search_steps", 48) in vm.calls
+    assert ("set_z_range_max", 2.5) in vm.calls
 
 
 def test_alternatives_dialog_picks_candidate(gui_env):

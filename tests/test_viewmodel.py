@@ -362,3 +362,21 @@ def test_migration_refuses_block_count_mismatch(setup, tmp_path):
     bm = BaseModel({"path": {}})
     with pytest.raises(ValueError, match="refusing to silently truncate"):
         bm.load_network(path, tmpl)
+
+
+def test_search_strength_controls(setup):
+    """`steps`/`zmax` editor controls (r5): adjust the Z-search budget and
+    the adaptive escalation ceiling through the view-model/CLI."""
+    from esr_tpu.explore.cli import run_command
+
+    vm, _ = make_vm(setup)
+    sess = vm.session
+    assert "steps set to 5" in vm.set_search_steps(5)
+    assert sess._optimizer.n_steps == 5
+    assert "3.5" in vm.set_z_range_max(3.5) and sess.z_range_max == 3.5
+    assert "disabled" in vm.set_z_range_max(0) and sess.z_range_max is None
+    # CLI wiring
+    assert "steps set to 4" in run_command(sess, "steps 4")
+    assert "ceiling set to 2" in run_command(sess, "zmax 2.0")
+    with pytest.raises(ValueError):
+        vm.set_search_steps(0)
