@@ -297,11 +297,10 @@ class EditorViewModel:
                 f", z-range widened to {tail['z_range']:g} "
                 "(outside the trained latent box; output stays CEM-consistent)"
             )
-        stopped = (
-            " (insensitive at max escalation)"
-            if tail["rel_improvement"] < 0.02 and len(rounds) > 1
-            else ""
-        )
+        stopped = {
+            "insensitive-at-max-escalation": " (insensitive at max escalation)",
+            "plateaued-at-round-budget": " (plateaued; round budget exhausted)",
+        }.get(tail.get("stop"), "")
         return f" [adaptive: {len(rounds)} rounds, lr {lrs}{widened}{stopped}]"
 
     def _final_loss(self, losses) -> float:

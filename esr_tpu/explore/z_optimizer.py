@@ -284,7 +284,7 @@ def optimize_z_adaptive(
     n_steps: int = 64,
     lr: float = 0.1,
     z_range: float = 1.0,
-    max_rounds: int = 6,
+    max_rounds: int | None = None,
     plateau_rel: float = 0.02,
     lr_boost: float = 3.0,
     lr_max: float = 2.7,
@@ -335,9 +335,27 @@ def optimize_z_adaptive(
     cur_lr = float(lr)
     cur_zr = float(z_range) if z_range else float("inf")
     zr_max = float(z_range_max) if z_range_max else cur_zr
+    if max_rounds is None:
+        # size the round budget to the FULL escalation ladder (r5: a fixed
+        # budget of 6 could exhaust before an explicitly-raised z_range_max
+        # was reached): initial round + lr-boost rounds + z-widening rounds
+        # + one settle round at full escalation
+        import math
+
+        lr_rounds = (
+            max(0, math.ceil(math.log(lr_max / cur_lr) / math.log(lr_boost) - 1e-9))
+            if cur_lr < lr_max else 0
+        )
+        z_rounds = (
+            max(0, math.ceil(math.log(zr_max / cur_zr) / math.log(z_range_boost) - 1e-9))
+            if math.isfinite(zr_max) and math.isfinite(cur_zr) and zr_max > cur_zr
+            else 0
+        )
+        max_rounds = 1 + lr_rounds + z_rounds + 1
     best_z, best_loss = z, float("inf")
     all_losses, rounds = [], []
     total = max_rounds * n_steps
+    stop_reason = None
     for r in range(max_rounds):
         opt_state.hyperparams["learning_rate"] = jnp.asarray(cur_lr, jnp.float32)
         z, opt_state, rb_z, rb_loss, losses = _optimize_z_round_jit(
@@ -364,7 +382,17 @@ def optimize_z_adaptive(
                 # flagship lever — module docstring)
                 cur_zr = min(cur_zr * z_range_boost, zr_max)
             else:
-                break  # plateaued at max escalation: genuinely insensitive
+                # plateaued at max escalation: genuinely insensitive
+                stop_reason = "insensitive-at-max-escalation"
+                break
+    if rounds:
+        if stop_reason is None:
+            stop_reason = (
+                "plateaued-at-round-budget"
+                if rounds[-1]["rel_improvement"] < plateau_rel
+                else "improving-at-round-budget"
+            )
+        rounds[-1]["stop"] = stop_reason
     return best_z, np.concatenate(all_losses), rounds
 
 
